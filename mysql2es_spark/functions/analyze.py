@@ -1,0 +1,85 @@
+"""Analysis chain: tokenizers + the reference's normalizer.
+
+The reference delegates analysis to Elasticsearch and configures a custom
+normalizer `trim` + `lowercase` for keyword fields (README-EN.org:188-196)
+and analyzed `text` fields for full-text search (README-EN.org:238-241).
+We implement the analyzer natively:
+
+- ``normalize_keyword``  exact normalizer parity: lower(trim(col)).
+- ``tokenize_code``      code-aware tokenizer as a *vectorized* pandas UDF
+  (Arrow-batched; no per-row Python): splits snake_case and camelCase
+  identifiers, strips operators/punctuation, lowercases.  Used for the
+  source-code corpus (BASELINE.json north_star).
+- ``tokenize_simple``    a pure-Column tokenizer (split on non-alnum +
+  lowercase) expressible in ANSI SQL — used for queries that are checked
+  against the DuckDB oracle, so Spark and the oracle tokenize identically.
+
+All tokenizers agree on the normalizer: output tokens are trimmed +
+lowercased.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Splits identifiers the way a code-search engine needs:
+#   getUserName -> get User Name ; user_id -> user id ; HTTPServer2 -> HTTP Server 2
+# Order matters: ALL-CAPS runs (not followed by lowercase), Capitalized run,
+# lowercase run, digit run.  Underscores/operators/whitespace are simply not
+# matched, so they act as separators.
+_CODE_TOKEN_RE = re.compile(r"[A-Z]+(?![a-z])|[A-Z][a-z]*|[a-z]+|[0-9]+")
+
+
+def tokenize_code_py(text: str) -> list[str]:
+    """Driver-side single-string tokenizer (query analysis + goldens).
+
+    Must stay in lock-step with ``tokenize_code`` (same regex, same
+    lowercasing) — the query path tokenizes with this and the index path
+    with the pandas UDF; rank identity requires they agree.
+    """
+    if text is None:
+        return []
+    return [t.lower() for t in _CODE_TOKEN_RE.findall(text)]
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_code(content: pd.Series) -> pd.Series:
+    """Vectorized code-aware tokenizer (Arrow batch in/out).
+
+    ``Series.str.findall`` runs the regex in a tight C loop over the
+    batch; the lowercase pass is a per-token list comprehension over
+    already-extracted tokens (no per-row Python UDF: this is one Arrow
+    batch per call, README-EN.org:190-196 normalizer parity).
+    """
+    toks = content.fillna("").str.findall(_CODE_TOKEN_RE)
+    return toks.map(lambda ts: [t.lower() for t in ts])
+
+
+def tokenize_simple(col: Column | str) -> Column:
+    """SQL-expressible tokenizer: lowercase, split on non-alphanumerics.
+
+    DuckDB-oracle equivalent:
+      ``list_filter(string_split_regex(lower(x), '[^a-z0-9]+'), t -> t <> '')``
+    Stays entirely JVM-side (whole-stage codegen).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda t: t != F.lit(""))
+
+
+def tokenize_simple_py(text: str) -> list[str]:
+    """Driver-side twin of ``tokenize_simple`` for query analysis."""
+    if text is None:
+        return []
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def normalize_keyword(col: Column | str) -> Column:
+    """The reference's custom normalizer: trim + lowercase
+    (README-EN.org:190-196)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(c))

@@ -1,0 +1,232 @@
+"""Inverted-index build: tokenize -> tf/df -> salted posting encode.
+
+This is the native replacement for everything the reference delegates to
+Elasticsearch (README-EN.org:238-241 analyzed text fields,
+README-EN.org:186-187 shard partitioning, README-EN.org:120-121 routing):
+
+- documents are assigned deterministic dense ``doc_id``s without a global
+  sort (partition-offset rebase — SURVEY.md §7 hard part 3),
+- term frequencies/document frequencies are plain hash aggregations
+  (partial + final, whole-stage codegen),
+- postings are hash-partitioned by ``bucket = pmod(xxhash64(term), B)``
+  (the shard-routing analogue) and encoded in ``applyInPandas`` into
+  delta+varint blocks with per-block (max_tf, min_dl) metadata for
+  block-max scoring,
+- hot terms (df above a threshold — e.g. 'import', 'return' in code)
+  are salted by *doc_id range*, so each (term, salt) group encodes an
+  independent, disjoint doc_id interval and the salted sub-lists are
+  re-merged for free: blocks are rows, and the term's full posting list
+  is just its block rows ordered by first_doc (SURVEY.md §4.2).
+
+Shuffle inventory for a full build (the plan that must survive 100 TB):
+  1. repartition(P, doc_key)         -- doc_id assignment, P fixed by config
+  2. groupBy(term, doc_id)           -- tf aggregation (partial agg first)
+  3. groupBy(term, salt)             -- posting encode groups
+Everything else is narrow.  ``content`` is dropped immediately after
+tokenization so no shuffle ever carries raw file bodies (SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.analyze import tokenize_code
+from ..functions.codec import encode_tfs, encode_varints
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    n_buckets: int = 32          # term routing partitions (ES number_of_shards analogue)
+    block_size: int = 128        # docs per posting block
+    salt_threshold: int = 50_000 # df above which a term is salted
+    n_salts: int = 8             # doc_id-range slices for hot terms
+    id_partitions: int = 32      # fixed partition count for doc_id assignment
+                                 # (fixed => ids independent of cluster size)
+    chunk_span: int = 8192       # doc_id range per scoring chunk; blocks are
+                                 # cut at chunk boundaries so every doc's
+                                 # postings for ALL terms land in one chunk
+                                 # => chunks score independently in parallel
+
+
+def assign_doc_ids(
+    df: DataFrame, base: int, cfg: IndexConfig
+) -> tuple[DataFrame, int]:
+    """Deterministic dense doc_id without a global sort.
+
+    Hash-repartition by doc_key into a *fixed* number of partitions
+    (independent of cluster size), sort within each partition, then
+    rebase each partition's row_number by the cumulative count of the
+    partitions before it.  Two light jobs instead of one single-partition
+    sort; deterministic across parallelism levels, which also protects
+    the N-vs-4N scaling comparison (SURVEY.md §7 hard part 3).
+    """
+    parted = df.repartition(cfg.id_partitions, "doc_key").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    parted = parted.persist()
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = df.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy("doc_key")
+    out = (
+        parted.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            "doc_id",
+            (F.lit(base).cast("long") + F.col("_off") + F.row_number().over(w) - 1),
+        )
+        .drop("_pid", "_off")
+    )
+    return out, acc
+
+
+def tokenize_stage(df: DataFrame) -> DataFrame:
+    """Arrow-batched code tokenization; drops ``content`` immediately so
+    downstream shuffles never carry raw file bodies."""
+    return (
+        df.withColumn("tokens", tokenize_code(F.col("content")))
+        .withColumn("dl", F.size("tokens").cast("long"))
+        .drop("content")
+    )
+
+
+def build_tf(tokens_df: DataFrame) -> DataFrame:
+    """(term, doc_id, tf, dl) — partial+final hash agg (A3 in SURVEY §2.4)."""
+    return (
+        tokens_df.select("doc_id", "dl", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def build_df_stats(tf_df: DataFrame) -> DataFrame:
+    """(term, df) document frequencies (A4)."""
+    return tf_df.groupBy("term").agg(F.count("*").alias("df"))
+
+
+def term_bucket(col, n_buckets: int):
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+POSTING_SCHEMA = (
+    "term string, bucket int, chunk long, n int, first_doc long, "
+    "last_doc long, max_tf int, min_dl int, docs binary, tfs binary, dls binary"
+)
+
+_POSTING_COLS = [
+    "term", "bucket", "chunk", "n", "first_doc", "last_doc",
+    "max_tf", "min_dl", "docs", "tfs", "dls",
+]
+
+
+def _encode_group(pdf: pd.DataFrame, block_size: int, chunk_span: int) -> pd.DataFrame:
+    """Encode one (term, salt) group's postings into block rows.
+
+    Stores doc gaps + tfs + dls as varints per block (dls ride along so
+    scoring never joins the doc store in the hot path).  Blocks are cut at
+    ``chunk_span`` doc_id boundaries: every block lies entirely within one
+    chunk, so a document's postings for *all* terms land in the same chunk
+    and chunks can be scored independently in parallel (per-chunk top-k,
+    then a global merge, is exact).
+    """
+    term = pdf["term"].iloc[0]
+    bucket = int(pdf["bucket"].iloc[0])
+    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+    doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.uint64)
+    tfs = pdf["tf"].to_numpy()[order].astype(np.uint64)
+    dls = pdf["dl"].to_numpy()[order].astype(np.uint64)
+    chunks = (doc_ids // np.uint64(chunk_span)).astype(np.int64)
+    # block boundaries: every `block_size` docs AND every chunk change
+    # (vectorized: find chunk runs, then stride block_size within each run)
+    n_docs = len(doc_ids)
+    run_starts = np.concatenate(([0], np.nonzero(chunks[1:] != chunks[:-1])[0] + 1))
+    run_ends = np.concatenate((run_starts[1:], [n_docs]))
+    cuts = np.concatenate(
+        [np.arange(s, e, block_size) for s, e in zip(run_starts, run_ends)]
+        + [np.array([n_docs])]
+    )
+    rows = []
+    for s, e in zip(cuts[:-1], cuts[1:]):
+        d, t, l = doc_ids[s:e], tfs[s:e], dls[s:e]
+        gaps = np.empty_like(d)
+        gaps[0] = d[0]
+        np.subtract(d[1:], d[:-1], out=gaps[1:])
+        rows.append(
+            (
+                term, bucket, int(chunks[s]), int(e - s), int(d[0]), int(d[-1]),
+                int(t.max()), int(l.min()),
+                encode_varints(gaps), encode_tfs(t), encode_varints(l),
+            )
+        )
+    return pd.DataFrame(rows, columns=_POSTING_COLS)
+
+
+def encode_postings(
+    tf_df: DataFrame, cfg: IndexConfig, max_doc_id: int, min_doc_id: int = 0
+) -> DataFrame:
+    """tf table -> posting block rows.
+
+    Salting (SURVEY §4.2): terms with df > threshold get
+    ``salt = (doc_id - min) // span`` — *range-based*, so each salt's
+    doc_id interval is disjoint and the merged posting list is simply the
+    union of block rows (concat preserves sort by construction).  AQE's
+    skew handling cannot split ``applyInPandas`` groups, hence the
+    explicit salt.
+    """
+    dfs = build_df_stats(tf_df)
+    hot = dfs.filter(F.col("df") > cfg.salt_threshold).select("term")
+    span = max(1, (max_doc_id - min_doc_id + 1 + cfg.n_salts - 1) // cfg.n_salts)
+    with_salt = (
+        tf_df.join(F.broadcast(hot.withColumn("_hot", F.lit(1))), "term", "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("_hot").isNotNull(),
+                ((F.col("doc_id") - F.lit(min_doc_id)) / F.lit(span)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("bucket", term_bucket(F.col("term"), cfg.n_buckets))
+        .drop("_hot")
+    )
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _encode_group(pdf, cfg.block_size, cfg.chunk_span)
+
+    return with_salt.groupBy("term", "salt").applyInPandas(encode, POSTING_SCHEMA)
+
+
+def finalize_blocks(blocks: DataFrame) -> DataFrame:
+    """Re-number block_idx per term across salted groups.
+
+    Salted groups each numbered their blocks from 0; global block order
+    within a term is by first_doc (ranges disjoint).  block_idx is only
+    informational — readers order by first_doc — so we just keep rows as
+    they are; this hook exists for future per-term stats.
+    """
+    return blocks
+
+
+def write_postings(blocks: DataFrame, path: str) -> None:
+    """Segment layout: parquet partitioned by bucket (partition pruning for
+    query terms == ES routing, README-EN.org:120-121), rows sorted by
+    (term, first_doc) so parquet row-group min/max stats prune terms."""
+    (
+        blocks.repartition("bucket")
+        .sortWithinPartitions("term", "first_doc")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )

@@ -1,0 +1,288 @@
+"""Query side: exact score-all BM25 and block-max top-k (WAND family).
+
+The reference delegates query execution to Elasticsearch: per-shard
+top-k + gather over the alias (README-EN.org:186-187, 252-258).  Ours:
+
+- partition pruning: only the term-buckets of the query's terms are read
+  (parquet ``bucket=`` partitions — the routing analogue of
+  README-EN.org:120-121), and parquet row-group min/max stats on ``term``
+  prune within a bucket,
+- per-chunk scoring: posting blocks are chunk-aligned at build time, so
+  each doc_id-range chunk holds *all* of a document's postings for every
+  query term; chunks score independently in parallel inside
+  ``applyInPandas`` (numpy), then a global (score desc, doc_id asc)
+  merge takes the final k — the per-shard-topk + gather pattern,
+- block-max pruning: per-block (max_tf, min_dl) gives a monotone score
+  upper bound; terms are processed score-at-a-time in descending
+  upper-bound order with MaxScore admission control (once remaining
+  terms' upper bounds cannot lift a brand-new doc past the running
+  k-th lower bound λ, new docs stop being admitted and only blocks
+  intersecting the candidate set are decoded).
+
+Rank identity with the exact scorer (BASELINE.json north_rule) holds
+bit-for-bit because both paths share one formula module
+(``functions.bm25``), score in float64, and sum each document's per-term
+contributions sequentially in ascending-term order.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import bm25
+from ..functions.analyze import tokenize_code_py
+from ..functions.bm25 import CorpusStats
+from ..functions.codec import decode_varints
+
+
+def analyze_query(text: str) -> list[tuple[str, int]]:
+    """Query analysis with the same analyzer as the index (lock-step with
+    ``tokenize_code``); repeated terms become query-term weights (qtf).
+    Returns [(term, qtf)] sorted ascending by term."""
+    counts = collections.Counter(tokenize_code_py(text))
+    return sorted(counts.items())
+
+
+# ---------------------------------------------------------------------------
+# Exact score-all scorer (the oracle; also the O3 operator in SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+def exact_topk(
+    spark: SparkSession,
+    tf_df: DataFrame,
+    stats: CorpusStats,
+    term_dfs: dict[str, int],
+    query_terms: list[tuple[str, int]],
+    k: int,
+    allowed: DataFrame | None = None,
+    denied: DataFrame | None = None,
+) -> DataFrame:
+    """DataFrame-native exact BM25 top-k over a (term, doc_id, tf, dl) table.
+
+    Deterministic float64: per-document contributions are collected,
+    sorted by term, and folded sequentially (``F.aggregate``) — the same
+    summation order the block-max scorer uses, so scores are
+    bit-identical, not merely close.
+    """
+    rows = [
+        (t, float(q), float(bm25.idf_py(term_dfs[t], stats.n_docs)))
+        for t, q in query_terms
+        if term_dfs.get(t)
+    ]
+    if not rows:
+        return spark.createDataFrame([], "doc_id long, score double")
+    q = spark.createDataFrame(rows, "term string, qtf double, idf double")
+    j = tf_df.join(F.broadcast(q), "term")
+    if allowed is not None:
+        j = j.join(allowed.select("doc_id"), "doc_id", "left_semi")
+    if denied is not None:
+        j = j.join(denied.select("doc_id"), "doc_id", "left_anti")
+    partial = (
+        F.col("qtf") * F.col("idf")
+        * bm25.tfnorm_col(F.col("tf"), F.col("dl"), stats.avgdl)
+    ).alias("p")
+    per_doc = (
+        j.select("doc_id", "term", partial)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("term", "p"))).alias("ps"))
+        .select(
+            "doc_id",
+            F.aggregate(
+                F.col("ps"), F.lit(0.0), lambda acc, x: acc + x["p"]
+            ).alias("score"),
+        )
+    )
+    return per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Block-max scorer (numpy, per chunk)
+# ---------------------------------------------------------------------------
+
+def _decode_block_rows(sub: pd.DataFrame):
+    docs = np.concatenate(
+        [np.cumsum(decode_varints(b)) for b in sub["docs"]]
+    ).astype(np.uint64)
+    tfs = np.concatenate([decode_varints(b) for b in sub["tfs"]])
+    dls = np.concatenate([decode_varints(b) for b in sub["dls"]])
+    return docs, tfs, dls
+
+
+def _restrict(docs, *arrays, keep_sorted: np.ndarray, mode: str):
+    """Keep (mode='allow') or drop (mode='deny') postings whose doc is in
+    ``keep_sorted`` — vectorized membership via searchsorted."""
+    if keep_sorted.size == 0:
+        mask = np.zeros(docs.shape[0], bool) if mode == "allow" else None
+        if mask is None:
+            return (docs, *arrays)
+        return (docs[mask], *[a[mask] for a in arrays])
+    pos = np.searchsorted(keep_sorted, docs)
+    pos = np.minimum(pos, keep_sorted.size - 1)
+    member = keep_sorted[pos] == docs
+    mask = member if mode == "allow" else ~member
+    return (docs[mask], *[a[mask] for a in arrays])
+
+
+def _score_chunk_pdf(
+    postings: pd.DataFrame,
+    qinfo: list[tuple[str, float, float]],  # (term, qtf, idf) asc by term
+    stats: CorpusStats,
+    k: int,
+    filter_docs: np.ndarray | None,
+    filter_mode: str,
+) -> pd.DataFrame:
+    """Block-max MaxScore over one doc_id chunk.  Exact scores for every
+    surviving candidate; pruning only ever skips docs that provably cannot
+    enter the top-k (upper bound < current k-th lower bound λ)."""
+    by_term = {t: g for t, g in postings.groupby("term")}
+    weights = {t: (qtf, idf) for t, qtf, idf in qinfo}
+
+    # per-term max block upper bound, for ordering + admission control
+    term_ub = {}
+    for t, g in by_term.items():
+        qtf, idf = weights[t]
+        ubs = qtf * idf * (
+            g["max_tf"].to_numpy(np.float64) * (bm25.K1 + 1.0)
+            / (
+                g["max_tf"].to_numpy(np.float64)
+                + bm25.K1
+                * (1.0 - bm25.B + bm25.B * g["min_dl"].to_numpy(np.float64) / stats.avgdl)
+            )
+        )
+        term_ub[t] = float(ubs.max())
+    order = sorted(term_ub, key=lambda t: (-term_ub[t], t))
+    suffix = np.cumsum([term_ub[t] for t in order][::-1])[::-1]
+
+    cand_docs = np.empty(0, dtype=np.uint64)
+    cand_partial = np.empty(0, dtype=np.float64)
+    contribs: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+    for i, t in enumerate(order):
+        g = by_term[t]
+        qtf, idf = weights[t]
+        lam = (
+            -np.inf
+            if cand_partial.size < k
+            else float(np.partition(cand_partial, -k)[-k])
+        )
+        admit = not np.isfinite(lam) or suffix[i] >= lam
+        if not admit:
+            if cand_docs.size == 0:
+                continue
+            # block skip: only decode blocks intersecting the candidate set
+            first = g["first_doc"].to_numpy(np.uint64)
+            last = g["last_doc"].to_numpy(np.uint64)
+            pos = np.searchsorted(cand_docs, first)
+            pos = np.minimum(pos, cand_docs.size - 1)
+            hit = cand_docs[pos] <= last
+            g = g[hit]
+            if len(g) == 0:
+                continue
+        docs, tfs, dls = _decode_block_rows(g)
+        if filter_docs is not None:
+            docs, tfs, dls = _restrict(
+                docs, tfs, dls, keep_sorted=filter_docs, mode=filter_mode
+            )
+        if not admit:
+            docs, tfs, dls = _restrict(
+                docs, tfs, dls, keep_sorted=cand_docs, mode="allow"
+            )
+        if docs.size == 0:
+            continue
+        scores = qtf * idf * bm25.tfnorm_np(tfs, dls, stats.avgdl)
+        contribs[t] = (docs, scores)
+        # merge into candidate accumulator
+        merged = np.union1d(cand_docs, docs)
+        new_partial = np.zeros(merged.shape[0], dtype=np.float64)
+        if cand_docs.size:
+            new_partial[np.searchsorted(merged, cand_docs)] = cand_partial
+        new_partial[np.searchsorted(merged, docs)] += scores
+        cand_docs, cand_partial = merged, new_partial
+        # shrink: drop candidates that provably cannot reach λ
+        if cand_partial.size > 4 * k and i + 1 < len(order):
+            lam2 = float(np.partition(cand_partial, -k)[-k])
+            keep = cand_partial + suffix[i + 1] >= lam2
+            cand_docs, cand_partial = cand_docs[keep], cand_partial[keep]
+
+    if cand_docs.size == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+
+    # deterministic final sum: ascending term order, sequential adds
+    final = np.zeros(cand_docs.shape[0], dtype=np.float64)
+    for t, _, _ in qinfo:
+        if t not in contribs:
+            continue
+        docs, scores = contribs[t]
+        pos = np.searchsorted(cand_docs, docs)
+        pos = np.minimum(pos, cand_docs.size - 1)
+        member = cand_docs[pos] == docs
+        np.add.at(final, pos[member], scores[member])
+    sel = np.lexsort((cand_docs, -final))[:k]
+    return pd.DataFrame(
+        {"doc_id": cand_docs[sel].astype(np.int64), "score": final[sel]}
+    )
+
+
+TOPK_SCHEMA = "doc_id long, score double"
+
+
+def blockmax_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    stats: CorpusStats,
+    term_dfs: dict[str, int],
+    query_terms: list[tuple[str, int]],
+    k: int,
+    chunk_span: int,
+    allowed: DataFrame | None = None,
+    denied: DataFrame | None = None,
+) -> DataFrame:
+    """Distributed block-max top-k: per-chunk scoring + global merge.
+
+    ``postings`` must already be filtered to the query's terms/buckets
+    (the caller does that so predicate pushdown is visible in the plan).
+    ``allowed``/``denied`` are doc_id DataFrames (filtered search /
+    tombstones); they are cogrouped by chunk so each scoring task only
+    sees its own chunk's filter slice.
+    """
+    qinfo = [
+        (t, float(q), float(bm25.idf_py(term_dfs[t], stats.n_docs)))
+        for t, q in query_terms
+        if term_dfs.get(t)
+    ]
+    if not qinfo:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+
+    if allowed is not None or denied is not None:
+        side = allowed if allowed is not None else denied
+        mode = "allow" if allowed is not None else "deny"
+        side = side.select(
+            F.expr(f"doc_id div {int(chunk_span)}").alias("chunk"), "doc_id"
+        )
+
+        def score_co(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0:
+                return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                     "score": pd.Series(dtype="float64")})
+            fdocs = np.sort(right["doc_id"].to_numpy(np.uint64))
+            return _score_chunk_pdf(left, qinfo, stats, k, fdocs, mode)
+
+        scored = (
+            postings.groupby("chunk")
+            .cogroup(side.groupby("chunk"))
+            .applyInPandas(score_co, TOPK_SCHEMA)
+        )
+    else:
+
+        def score(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _score_chunk_pdf(pdf, qinfo, stats, k, None, "allow")
+
+        scored = postings.groupBy("chunk").applyInPandas(score, TOPK_SCHEMA)
+
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,624 @@
+"""Build orchestration: full build, incremental sync, compensation, compaction.
+
+This is the Spark re-expression of the reference's main loop
+(README-EN.org:46-49): cron fire -> load checkpoint -> page loop
+(fetch / transform / assemble / bulk write) -> persist checkpoint.
+Pages become partitions, the increment column becomes the snapshot id,
+the checkpoint becomes the manifest, and the bulk sink becomes
+term-bucketed posting segments with an atomic manifest swap
+(alias-swap semantics, README-EN.org:252-258).
+
+Scale notes (the plan that must survive 100 TB / 1000 executors):
+- a build shuffles exactly 3 times (doc_id assign, tf agg, encode groups);
+  ``content`` never crosses a shuffle (dropped right after tokenize),
+- incremental builds touch only the new snapshot's rows; the base index
+  is never rewritten — upserts are tombstones on old segments
+  (Lucene-style), physically removed by an optional ``compact``,
+- compaction of postings is shuffle-free: blocks are rewritten in place
+  per parquet partition with dead doc_ids dropped,
+- resume: every stage is a parquet dir with a ``_SUCCESS`` marker;
+  a re-run after a crash skips completed stages (doc_ids are
+  deterministic, so partial work is valid).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.bm25 import CorpusStats
+from ..functions.codec import decode_varints, encode_varints
+from ..operators.index import (
+    IndexConfig,
+    POSTING_SCHEMA,
+    assign_doc_ids,
+    build_tf,
+    encode_postings,
+    term_bucket,
+    tokenize_stage,
+    write_postings,
+)
+from ..operators.search import blockmax_topk, exact_topk
+from ..sources.checkpoint import LineageStore, new_build_id, stage_done
+from ..sources.corpus import SnapshotLog, with_doc_columns
+from .manifest import Manifest, SegmentMeta, load_current, publish
+
+DOCSTORE_COLS = [
+    "doc_id", "doc_key", "repo", "path", "commit", "lang",
+    "content_sha", "dl", "version", "snapshot_id",
+]
+
+
+def _round_up(x: int, span: int) -> int:
+    return ((x + span - 1) // span) * span
+
+
+def build_segment(
+    spark: SparkSession,
+    corpus_df: DataFrame,
+    root: str,
+    seg_name: str,
+    cfg: IndexConfig,
+    base: int,
+    snapshot_id: int | None,
+    lineage: LineageStore | None = None,
+    build_id: str | None = None,
+) -> SegmentMeta:
+    """Tokenize + index one batch of corpus rows into a new segment.
+
+    ``base`` is the doc_id range start (chunk-aligned by the caller).
+    Stages (each resumable via _SUCCESS): docstore -> postings.
+    """
+    seg_dir = os.path.join(root, "segments", seg_name)
+    doc_path = os.path.join(seg_dir, "docstore")
+    post_path = os.path.join(seg_dir, "postings")
+    build_id = build_id or new_build_id()
+
+    if not (stage_done(doc_path) and stage_done(post_path)):
+        df = with_doc_columns(corpus_df)
+        if "snapshot_id" not in df.columns:
+            df = df.withColumn(
+                "snapshot_id",
+                F.lit(snapshot_id if snapshot_id is not None else 0).cast("long"),
+            )
+        df = df.withColumn("version", F.col("snapshot_id"))
+        with_ids, n_docs = assign_doc_ids(df, base, cfg)
+        toks = tokenize_stage(with_ids).persist()
+        t0 = time.time()
+        if not stage_done(doc_path):
+            toks.select(*DOCSTORE_COLS).write.mode("overwrite").parquet(doc_path)
+        if not stage_done(post_path):
+            tf = build_tf(toks.select("doc_id", "dl", "tokens"))
+            blocks = encode_postings(
+                tf, cfg, max_doc_id=base + max(n_docs, 1) - 1, min_doc_id=base
+            )
+            write_postings(blocks, post_path)
+        toks.unpersist()
+        wall_ms = int((time.time() - t0) * 1000)
+    else:
+        wall_ms = 0
+
+    store = spark.read.parquet(doc_path)
+    agg = store.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("sdl"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).collect()[0]
+    meta = SegmentMeta(
+        name=seg_name,
+        n_docs=int(agg["n"]),
+        sum_dl=int(agg["sdl"] or 0),
+        min_doc_id=int(agg["lo"] if agg["lo"] is not None else base),
+        max_doc_id=int(agg["hi"] if agg["hi"] is not None else base),
+        snapshot_id=snapshot_id,
+    )
+    if lineage is not None:
+        per_bucket = (
+            spark.read.parquet(post_path)
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("blocks"),
+                F.sum("n").alias("postings"),
+                (F.sum(F.length("docs")) + F.sum(F.length("tfs"))
+                 + F.sum(F.length("dls"))).alias("bytes"),
+            )
+            .collect()
+        )
+        lineage.append(
+            spark,
+            [
+                {
+                    "build_id": build_id, "phase": "postings",
+                    "partition": int(r["bucket"]), "rows": int(r["postings"]),
+                    "bytes": int(r["bytes"]), "wall_ms": wall_ms,
+                    "status": "done", "snapshot_id": snapshot_id,
+                    "segment": seg_name,
+                }
+                for r in per_bucket
+            ]
+            + [
+                {
+                    "build_id": build_id, "phase": "docstore", "partition": -1,
+                    "rows": meta.n_docs, "bytes": 0, "wall_ms": wall_ms,
+                    "status": "done", "snapshot_id": snapshot_id,
+                    "segment": seg_name,
+                }
+            ],
+        )
+    return meta
+
+
+def full_build(
+    spark: SparkSession,
+    corpus_df: DataFrame,
+    root: str,
+    cfg: IndexConfig | None = None,
+    snapshot_id: int | None = None,
+) -> Manifest:
+    cfg = cfg or IndexConfig()
+    lineage = LineageStore(root)
+    meta = build_segment(
+        spark, corpus_df, root, "seg-000001", cfg, base=0,
+        snapshot_id=snapshot_id, lineage=lineage,
+    )
+    m = Manifest(
+        version=1,
+        n_buckets=cfg.n_buckets,
+        block_size=cfg.block_size,
+        chunk_span=cfg.chunk_span,
+        segments=[meta],
+        next_doc_id_base=_round_up(meta.max_doc_id + 1, cfg.chunk_span),
+        last_snapshot_id=snapshot_id,
+        last_handle_ts=int(time.time()),
+    )
+    publish(root, m)
+    return m
+
+
+def _dedupe_latest(df: DataFrame) -> DataFrame:
+    """Keep only the newest doc per logical key (repo, path) inside one
+    delta — max version, then commit desc (deterministic tie-break).
+    This is the U2 upsert dedup of SURVEY §2.7."""
+    w = Window.partitionBy("repo", "path").orderBy(
+        F.desc("version"), F.desc("commit")
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def incremental_build(
+    spark: SparkSession,
+    log: SnapshotLog,
+    root: str,
+    cfg: IndexConfig | None = None,
+    up_to: int | None = None,
+    min_commit_ts: int | None = None,
+) -> Manifest:
+    """Sync new snapshots into the index (the reference's E1 main loop).
+
+    - checkpoint = manifest.last_snapshot_id (strict `>` increment
+      predicate, README-EN.org:90-92),
+    - no new snapshots => no-op (work-avoidance guard, SURVEY §4.1),
+    - replayed rows (compensation) are skipped by doc_key anti-join —
+      idempotent ids, README-EN.org:88,
+    - docs superseding an older (repo, path) tombstone the old doc_id,
+      guarded by version (README-EN.org:78-79): only strictly newer
+      versions win; stale replays never regress newer data.
+    """
+    cfg = cfg or IndexConfig()
+    m = load_current(root)
+    lineage = LineageStore(root)
+    if m is None:
+        df = (
+            log.read_commit_window(spark, min_commit_ts)
+            if min_commit_ts is not None
+            else log.read_incremental(spark, None, up_to)
+        )
+        snaps = [s.id for s in log.snapshots() if up_to is None or s.id <= up_to]
+        return full_build(
+            spark, df, root, cfg, snapshot_id=max(snaps) if snaps else None
+        )
+
+    if min_commit_ts is not None:
+        new_df = log.read_commit_window(spark, min_commit_ts)
+    else:
+        new_df = log.read_incremental(spark, m.last_snapshot_id, up_to)
+    snaps = [
+        s.id
+        for s in log.snapshots()
+        if (up_to is None or s.id <= up_to)
+    ]
+    target_snap = max(snaps) if snaps else m.last_snapshot_id
+    if target_snap == m.last_snapshot_id and min_commit_ts is None:
+        return m  # nothing new: work-avoidance guard
+
+    # idempotency: drop rows whose doc_key is already indexed (replays)
+    existing_keys = _docstores(spark, root, m).select("doc_key")
+    new_df = with_doc_columns(new_df).join(existing_keys, "doc_key", "left_anti")
+    new_df = new_df.withColumn("version", F.col("snapshot_id"))
+    new_df = _dedupe_latest(new_df).drop("version", "doc_key", "content_sha")
+
+    if new_df.isEmpty():
+        m2 = Manifest(**{**_as_dict(m), "version": m.version + 1,
+                         "last_snapshot_id": target_snap,
+                         "last_handle_ts": int(time.time())})
+        publish(root, m2)
+        return m2
+
+    seg_name = f"seg-{m.version + 1:06d}"
+    base = m.next_doc_id_base
+    meta = build_segment(
+        spark, new_df, root, seg_name, cfg, base=base,
+        snapshot_id=target_snap, lineage=lineage,
+    )
+
+    # version-guarded upsert: tombstone superseded docs in old segments
+    new_store = spark.read.parquet(
+        os.path.join(root, "segments", seg_name, "docstore")
+    ).select("repo", "path", F.col("version").alias("new_version"))
+    segments: list[SegmentMeta] = []
+    for seg in m.segments:
+        old_store = spark.read.parquet(
+            os.path.join(root, "segments", seg.name, "docstore")
+        )
+        dead = (
+            old_store.join(F.broadcast(new_store), ["repo", "path"])
+            .filter(F.col("new_version") > F.col("version"))
+            .select("doc_id")
+            .distinct()
+        )
+        prev = _tombstones_of(spark, root, seg)
+        if prev is not None:
+            dead = dead.unionByName(prev).distinct()
+        n_dead = dead.count()
+        if n_dead > seg.n_tombstones:
+            tomb_path = os.path.join(
+                root, "segments", seg.name, f"tombstones-{m.version + 1:06d}"
+            )
+            dead.coalesce(1).write.mode("overwrite").parquet(tomb_path)
+            segments.append(
+                SegmentMeta(**{**seg.__dict__, "n_tombstones": n_dead})
+            )
+        else:
+            segments.append(seg)
+    segments.append(meta)
+
+    m2 = Manifest(
+        version=m.version + 1,
+        n_buckets=m.n_buckets,
+        block_size=m.block_size,
+        chunk_span=m.chunk_span,
+        analyzer=m.analyzer,
+        segments=segments,
+        next_doc_id_base=_round_up(meta.max_doc_id + 1, cfg.chunk_span),
+        last_snapshot_id=target_snap,
+        last_handle_ts=int(time.time()),
+    )
+    publish(root, m2)
+    return m2
+
+
+def compensate(
+    spark: SparkSession,
+    log: SnapshotLog,
+    root: str,
+    cfg: IndexConfig | None = None,
+    compensate_second: int = 300,
+    begin_interval_second: int = 1200,
+    now_ts: int | None = None,
+) -> Manifest:
+    """Late-data compensation (README-EN.org:71-77): re-scan snapshots
+    committed in the look-back window and upsert idempotently.  Only runs
+    while ``now - last_handle <= begin_interval_second`` (the guard), and
+    re-reads from ``watermark - compensate_second``.  Identical code path
+    to the incremental build with a shifted lower bound — compensation is
+    a re-run, not a special engine mode (README.org:67)."""
+    m = load_current(root)
+    now = int(now_ts if now_ts is not None else time.time())
+    if m is not None and m.last_handle_ts is not None:
+        if now - m.last_handle_ts > begin_interval_second:
+            return m  # outside the compensation window: skip
+    snaps = log.snapshots()
+    watermark = max((s.commit_ts for s in snaps), default=now)
+    return incremental_build(
+        spark, log, root, cfg, min_commit_ts=watermark - compensate_second
+    )
+
+
+# ---------------------------------------------------------------------------
+# Readers + compaction
+# ---------------------------------------------------------------------------
+
+def _as_dict(m: Manifest) -> dict:
+    d = dict(m.__dict__)
+    return d
+
+
+def _docstores(spark: SparkSession, root: str, m: Manifest) -> DataFrame:
+    paths = [os.path.join(root, "segments", s.name, "docstore") for s in m.segments]
+    return spark.read.parquet(*paths)
+
+
+def _tombstones_of(
+    spark: SparkSession, root: str, seg: SegmentMeta
+) -> DataFrame | None:
+    seg_dir = os.path.join(root, "segments", seg.name)
+    vers = sorted(
+        d for d in os.listdir(seg_dir) if d.startswith("tombstones-")
+    )
+    if not vers:
+        return None
+    return spark.read.parquet(os.path.join(seg_dir, vers[-1]))
+
+
+class SearchIndex:
+    """Query-side handle: resolves CURRENT once, then serves top-k.
+
+    ``search`` is the E4 lifecycle of SURVEY §3: analyze query ->
+    pruned posting scan (bucket partitions + term row-groups) ->
+    per-chunk block-max scoring -> global merge -> doc-store join for
+    display fields (repo/path/lang — the flattened struct columns of the
+    north_rule)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        m = load_current(root)
+        if m is None:
+            raise FileNotFoundError(f"no CURRENT manifest under {root}")
+        self.manifest = m
+
+    # -- plumbing ---------------------------------------------------------
+    def stats(self) -> CorpusStats:
+        return CorpusStats(self.manifest.n_docs_total, self.manifest.avgdl)
+
+    def postings(self, terms: list[str] | None = None) -> DataFrame:
+        paths = [
+            os.path.join(self.root, "segments", s.name, "postings")
+            for s in self.manifest.segments
+        ]
+        df = self.spark.read.parquet(*paths)
+        if terms is not None:
+            buckets = sorted(
+                {self._bucket_py(t) for t in terms}
+            )
+            df = df.filter(
+                F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+            )
+        return df
+
+    def _bucket_py(self, term: str) -> int:
+        # xxhash64 parity with the JVM: compute once via a tiny Spark job
+        # is wasteful per query; cache the literal mapping instead.
+        if not hasattr(self, "_bucket_cache"):
+            self._bucket_cache: dict[str, int] = {}
+        if term not in self._bucket_cache:
+            row = self.spark.createDataFrame(
+                [(term,)], "term string"
+            ).select(term_bucket(F.col("term"), self.manifest.n_buckets)).head()
+            self._bucket_cache[term] = int(row[0])
+        return self._bucket_cache[term]
+
+    def docstore(self) -> DataFrame:
+        return _docstores(self.spark, self.root, self.manifest)
+
+    def tombstones(self) -> DataFrame | None:
+        outs = [
+            t
+            for s in self.manifest.segments
+            if s.n_tombstones > 0
+            and (t := _tombstones_of(self.spark, self.root, s)) is not None
+        ]
+        if not outs:
+            return None
+        df = outs[0]
+        for o in outs[1:]:
+            df = df.unionByName(o)
+        return df
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Document frequency per term from the posting dictionary
+        (sum of block n; includes tombstoned docs until compaction —
+        Lucene semantics, applied identically in both scorers)."""
+        rows = (
+            self.postings(terms)
+            .groupBy("term")
+            .agg(F.sum("n").alias("df"))
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def tf_table(self, terms: list[str] | None = None) -> DataFrame:
+        """Decode postings back to (term, doc_id, tf, dl) — feeds the
+        exact scorer so exact-vs-blockmax identity is testable on the
+        exact same index state."""
+        def dec(batches):
+            for pdf in batches:
+                outs = []
+                for _, r in pdf.iterrows():
+                    docs = np.cumsum(decode_varints(r["docs"])).astype(np.int64)
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "term": r["term"],
+                                "doc_id": docs,
+                                "tf": decode_varints(r["tfs"]).astype(np.int64),
+                                "dl": decode_varints(r["dls"]).astype(np.int64),
+                            }
+                        )
+                    )
+                yield pd.concat(outs) if outs else pd.DataFrame(
+                    {"term": pd.Series(dtype="str"),
+                     "doc_id": pd.Series(dtype="int64"),
+                     "tf": pd.Series(dtype="int64"),
+                     "dl": pd.Series(dtype="int64")}
+                )
+
+        return self.postings(terms).mapInPandas(
+            dec, "term string, doc_id long, tf long, dl long"
+        )
+
+    def _doc_filter(
+        self, lang: str | None, repo: str | None
+    ) -> tuple[DataFrame | None, DataFrame | None]:
+        tomb = self.tombstones()
+        if lang is None and repo is None:
+            return None, tomb
+        ds = self.docstore()
+        if lang is not None:
+            ds = ds.filter(F.col("lang") == lang)
+        if repo is not None:
+            ds = ds.filter(F.col("repo") == repo)
+        allowed = ds.select("doc_id")
+        if tomb is not None:
+            allowed = allowed.join(tomb, "doc_id", "left_anti")
+        return allowed, None
+
+    # -- queries ----------------------------------------------------------
+    def search(
+        self,
+        query_text: str,
+        k: int = 20,
+        lang: str | None = None,
+        repo: str | None = None,
+        exact: bool = False,
+    ) -> DataFrame:
+        from ..operators.search import analyze_query
+
+        qterms = analyze_query(query_text)
+        terms = [t for t, _ in qterms]
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, doc_key string, repo string, "
+                    "path string, lang string"
+            )
+        dfs = self.term_dfs(terms)
+        allowed, denied = self._doc_filter(lang, repo)
+        if exact:
+            top = exact_topk(
+                self.spark, self.tf_table(terms), self.stats(), dfs, qterms,
+                k, allowed=allowed, denied=denied,
+            )
+        else:
+            top = blockmax_topk(
+                self.spark, self.postings(terms), self.stats(), dfs, qterms,
+                k, self.manifest.chunk_span, allowed=allowed, denied=denied,
+            )
+        meta = self.docstore().select("doc_id", "doc_key", "repo", "path", "lang")
+        return (
+            top.join(meta, "doc_id", "left")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+
+def compact(
+    spark: SparkSession, root: str, cfg: IndexConfig | None = None
+) -> Manifest:
+    """Physically drop tombstoned docs and merge segments into one.
+
+    Posting rewrite is shuffle-free per input partition (mapInPandas:
+    decode -> drop dead ids -> re-encode; block metadata recomputed
+    exactly).  Doc ids are preserved, so chunk alignment survives; stats
+    shrink to live docs only, after which dictionary df == live df and
+    exact-vs-blockmax identity is restored against a fresh corpus scan.
+    At real scale the dead-id set would ship as a broadcast bitmap; here
+    it is a broadcast sorted array (documented tradeoff).
+    """
+    cfg = cfg or IndexConfig()
+    m = load_current(root)
+    assert m is not None
+    idx = SearchIndex(spark, root)
+    tomb = idx.tombstones()
+    dead_sorted = (
+        np.sort(np.array([r["doc_id"] for r in tomb.collect()], dtype=np.uint64))
+        if tomb is not None
+        else np.empty(0, dtype=np.uint64)
+    )
+    b_dead = spark.sparkContext.broadcast(dead_sorted)
+
+    def rewrite(batches):
+        for pdf in batches:
+            dead = b_dead.value
+            rows = []
+            for _, r in pdf.iterrows():
+                if dead.size:
+                    lo = np.searchsorted(dead, np.uint64(r["first_doc"]))
+                    hit = lo < dead.size and dead[lo] <= np.uint64(r["last_doc"])
+                else:
+                    hit = False
+                if not hit:
+                    rows.append(r)
+                    continue
+                docs = np.cumsum(decode_varints(r["docs"])).astype(np.uint64)
+                tfs = decode_varints(r["tfs"])
+                dls = decode_varints(r["dls"])
+                pos = np.minimum(np.searchsorted(dead, docs), dead.size - 1)
+                keep = dead[pos] != docs
+                docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+                if docs.size == 0:
+                    continue
+                gaps = np.empty_like(docs)
+                gaps[0] = docs[0]
+                np.subtract(docs[1:], docs[:-1], out=gaps[1:])
+                r = r.copy()
+                r["n"] = int(docs.size)
+                r["first_doc"] = int(docs[0])
+                r["last_doc"] = int(docs[-1])
+                r["max_tf"] = int(tfs.max())
+                r["min_dl"] = int(dls.min())
+                r["docs"] = encode_varints(gaps)
+                r["tfs"] = encode_varints(tfs)
+                r["dls"] = encode_varints(dls)
+                rows.append(r)
+            yield (
+                pd.DataFrame(rows)
+                if rows
+                else pdf.iloc[0:0]
+            )
+
+    merged_name = f"seg-{m.version + 1:06d}-compact"
+    out_post = os.path.join(root, "segments", merged_name, "postings")
+    out_doc = os.path.join(root, "segments", merged_name, "docstore")
+    posts = idx.postings()
+    posts.mapInPandas(rewrite, POSTING_SCHEMA).repartition("bucket") \
+        .sortWithinPartitions("term", "first_doc") \
+        .write.mode("overwrite").partitionBy("bucket").parquet(out_post)
+    store = idx.docstore()
+    if tomb is not None:
+        store = store.join(tomb, "doc_id", "left_anti")
+    store.write.mode("overwrite").parquet(out_doc)
+
+    agg = spark.read.parquet(out_doc).agg(
+        F.count("*").alias("n"), F.sum("dl").alias("sdl"),
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
+    ).collect()[0]
+    meta = SegmentMeta(
+        name=merged_name,
+        n_docs=int(agg["n"]),
+        sum_dl=int(agg["sdl"] or 0),
+        min_doc_id=int(agg["lo"] or 0),
+        max_doc_id=int(agg["hi"] or 0),
+        snapshot_id=m.last_snapshot_id,
+    )
+    m2 = Manifest(
+        version=m.version + 1,
+        n_buckets=m.n_buckets,
+        block_size=m.block_size,
+        chunk_span=m.chunk_span,
+        analyzer=m.analyzer,
+        segments=[meta],
+        next_doc_id_base=m.next_doc_id_base,
+        last_snapshot_id=m.last_snapshot_id,
+        last_handle_ts=int(time.time()),
+    )
+    publish(root, m2)
+    return m2

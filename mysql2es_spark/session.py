@@ -1,0 +1,54 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local mode is a stand-in for a multi-executor cluster; every knob here is
+chosen to behave identically on a 1000-executor cluster:
+
+- AQE on (runtime coalesce + skew-join splitting),
+- Arrow on (all Python stages are pandas/Arrow UDFs),
+- shuffle partitions sized to cores locally; on a real cluster this is
+  set to 2-3x total executor cores via ``spark-submit --conf``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "mysql2es_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a session.
+
+    ``cores`` controls ``local[N]`` — the sandbox form of the cluster-size
+    axis: the scaling bench runs the same job at ``local[8]`` and
+    ``local[32]``.
+    """
+    n = cores or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
