@@ -382,11 +382,17 @@ class SearchIndex:
         return CorpusStats(self.manifest.n_docs_total, self.manifest.avgdl)
 
     def postings(self, terms: list[str] | None = None) -> DataFrame:
-        paths = [
-            os.path.join(self.root, "segments", s.name, "postings")
+        # each segment is its own partitioned-parquet root: load separately,
+        # unionByName (Spark refuses multi-root partition discovery)
+        dfs_ = [
+            self.spark.read.parquet(
+                os.path.join(self.root, "segments", s.name, "postings")
+            )
             for s in self.manifest.segments
         ]
-        df = self.spark.read.parquet(*paths)
+        df = dfs_[0]
+        for d in dfs_[1:]:
+            df = df.unionByName(d)
         if terms is not None:
             buckets = sorted(
                 {self._bucket_py(t) for t in terms}

@@ -79,11 +79,18 @@ def _gen_batch(ids: np.ndarray, seed: int, snap_ordinal: int,
     rows = []
     varr = np.asarray(vocab, dtype=object)
     for i in ids:
-        rng = np.random.default_rng((seed << 20) + int(i) * 7 + snap_ordinal)
+        # identity fields (repo/path/lang) are ordinal-INdependent so a row
+        # regenerated at a later snapshot ordinal models an UPDATE of the
+        # same logical file (upsert fixture, README-EN.org:78-79);
+        # content/commit vary with the ordinal.
+        rng_id = np.random.default_rng((seed << 20) + int(i) * 7)
         repo = f"org{int(i) % 7}/repo{int(i) % 53}"
-        lang = LANGS[int(rng.choice(len(LANGS), p=LANG_WEIGHTS))]
-        stem = _STEMS[int(rng.integers(0, len(_STEMS)))]
-        path = f"src/{stem}/{vocab[int(rng.integers(0, len(vocab)))]}_{int(i)}.{EXT[lang]}"
+        lang = LANGS[int(rng_id.choice(len(LANGS), p=LANG_WEIGHTS))]
+        stem = _STEMS[int(rng_id.integers(0, len(_STEMS)))]
+        path = f"src/{stem}/{vocab[int(rng_id.integers(0, len(vocab)))]}_{int(i)}.{EXT[lang]}"
+        rng = np.random.default_rng(
+            (seed << 20) + int(i) * 7 + 1_000_003 * (snap_ordinal + 1)
+        )
         n_tok = int(rng.integers(30, 401))
         idx = (rng.zipf(1.1, size=n_tok) - 1) % len(vocab)
         toks = list(varr[idx])
