@@ -230,6 +230,40 @@ class SnapshotLog:
         return self._read(spark, snaps)
 
 
+def make_query_set(seed: int = SEED, n: int = 50) -> list[dict]:
+    """The reference query set (FIXTURES.md §2): 15 single-term, 15
+    two-term, 10 with one hot keyword, 5 with a nonexistent term, 5 with
+    a repeated term; 10 of them carry a lang/repo filter.  Deterministic
+    from the seed; used by the rank-identity oracle (north_rule)."""
+    vocab = make_vocab(seed)
+    rng = np.random.default_rng(seed + 777)
+    qs: list[dict] = []
+
+    def pick() -> str:
+        return vocab[int(rng.integers(0, len(vocab)))]
+
+    for i in range(n):
+        if i < 15:
+            terms = [pick()]
+        elif i < 30:
+            terms = [pick(), pick()]
+        elif i < 40:
+            terms = [HOT_KEYWORDS[int(rng.integers(0, len(HOT_KEYWORDS)))], pick()]
+        elif i < 45:
+            terms = [f"zz{int(rng.integers(10**6, 10**7))}qx", pick()]
+        else:
+            t = pick()
+            terms = [t, t]
+        q = {"query_id": i, "text": " ".join(terms), "k": 20,
+             "filter_lang": None, "filter_repo": None}
+        if 5 <= i < 10:
+            q["filter_lang"] = LANGS[int(rng.integers(0, len(LANGS)))]
+        elif 20 <= i < 25:
+            q["filter_repo"] = f"org{int(rng.integers(0, 7))}/repo{int(rng.integers(0, 53))}"
+        qs.append(q)
+    return qs
+
+
 def with_doc_columns(df: DataFrame) -> DataFrame:
     """Materialize doc identity + the correctness invariant:
 

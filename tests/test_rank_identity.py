@@ -1,0 +1,152 @@
+"""Rank-identity oracle (BASELINE.json north_rule, FIXTURES.md §2).
+
+A driver-side numpy/pure-Python exact scorer — an independent
+implementation that re-tokenizes the raw corpus — must match the
+engine's block-max top-20 EXACTLY: same doc ids, bit-identical float64
+scores, on all 50 reference queries (single/two-term, hot-keyword,
+nonexistent-term, repeated-term, lang/repo-filtered).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql2es_spark.functions.analyze import tokenize_code_py
+from mysql2es_spark.plans.build import SearchIndex
+from mysql2es_spark.operators.search import analyze_query
+from mysql2es_spark.sources.corpus import make_query_set
+
+K1, B = 1.2, 0.75
+
+
+@pytest.fixture(scope="module")
+def oracle_state(spark, fixture_index):
+    idx = SearchIndex(spark, fixture_index["root"])
+    store = idx.docstore().select(
+        "doc_id", "doc_key", "repo", "lang"
+    ).toPandas()
+    tomb = idx.tombstones()
+    dead = (
+        {int(r["doc_id"]) for r in tomb.collect()} if tomb is not None else set()
+    )
+    # independent re-tokenization of the raw snapshot log
+    raw = (
+        fixture_index["log"]
+        .read_all(spark)
+        .withColumn(
+            "doc_key",
+            F.concat_ws("-", F.col("repo"), F.col("path"), F.col("commit")),
+        )
+        .select("doc_key", "content")
+        .toPandas()
+    )
+    content_of = dict(zip(raw["doc_key"], raw["content"]))
+    docs = {}
+    for _, r in store.iterrows():
+        toks = tokenize_code_py(content_of[r["doc_key"]])
+        tf = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        docs[int(r["doc_id"])] = {
+            "tf": tf, "dl": len(toks), "repo": r["repo"], "lang": r["lang"],
+        }
+    dfs = {}
+    for d in docs.values():
+        for t in d["tf"]:
+            dfs[t] = dfs.get(t, 0) + 1
+    n_docs = len(docs)
+    avgdl = sum(d["dl"] for d in docs.values()) / n_docs
+    return {
+        "idx": idx, "docs": docs, "dfs": dfs, "dead": dead,
+        "n_docs": n_docs, "avgdl": avgdl,
+    }
+
+
+def oracle_topk(state, text, k, lang=None, repo=None):
+    qterms = analyze_query(text)
+    scored = []
+    for did, d in state["docs"].items():
+        if did in state["dead"]:
+            continue
+        if lang is not None and d["lang"] != lang:
+            continue
+        if repo is not None and d["repo"] != repo:
+            continue
+        s = 0.0
+        for t, qtf in qterms:  # ascending term order (sorted by analyze_query)
+            tf = d["tf"].get(t)
+            if not tf:
+                continue
+            df = state["dfs"][t]
+            idf = math.log(1.0 + (state["n_docs"] - df + 0.5) / (df + 0.5))
+            s += qtf * idf * (
+                tf * (K1 + 1.0)
+                / (tf + K1 * (1.0 - B + B * d["dl"] / state["avgdl"]))
+            )
+        if s > 0.0:
+            scored.append((did, s))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:k]
+
+
+def test_oracle_stats_match_manifest(oracle_state):
+    """The independent oracle agrees with the manifest on N and avgdl —
+    the index preserved every doc and every token count."""
+    idx = oracle_state["idx"]
+    assert idx.manifest.n_docs_total == oracle_state["n_docs"]
+    assert idx.manifest.avgdl == pytest.approx(oracle_state["avgdl"], rel=1e-12)
+
+
+def test_dictionary_df_matches_oracle(oracle_state):
+    """Posting dictionary df == independently recomputed df for the
+    query set's terms (dead docs still counted — Lucene semantics,
+    fixture tombstones included in both sides)."""
+    idx = oracle_state["idx"]
+    terms = sorted(
+        {t for q in make_query_set() for t, _ in analyze_query(q["text"])}
+    )
+    got = idx.term_dfs(terms)
+    # oracle dfs are computed over ALL stored docs (docstore includes
+    # tombstoned docs), matching dictionary semantics exactly
+    raw_dfs = oracle_state["dfs"]
+    for t in terms:
+        assert got.get(t, 0) == raw_dfs.get(t, 0), t
+
+
+@pytest.mark.parametrize("q", make_query_set(), ids=lambda q: f"q{q['query_id']}")
+def test_blockmax_rank_identical_to_oracle(oracle_state, q):
+    idx = oracle_state["idx"]
+    exp = oracle_topk(
+        oracle_state, q["text"], q["k"], lang=q["filter_lang"], repo=q["filter_repo"]
+    )
+    got = [
+        (r["doc_id"], r["score"])
+        for r in idx.search(
+            q["text"], k=q["k"], lang=q["filter_lang"], repo=q["filter_repo"]
+        ).collect()
+    ]
+    assert [g[0] for g in got] == [e[0] for e in exp], q["text"]
+    for (gd, gs), (ed, es) in zip(got, exp):
+        assert gs == es, (q["text"], gd, gs, es)  # bit-identical float64
+
+
+@pytest.mark.parametrize(
+    "qid", [0, 16, 31, 40, 46, 6, 21], ids=lambda i: f"exact-q{i}"
+)
+def test_spark_exact_scorer_matches_oracle(oracle_state, qid):
+    """The Spark DataFrame exact scorer (O3) agrees too — on a subset to
+    bound runtime."""
+    q = make_query_set()[qid]
+    idx = oracle_state["idx"]
+    exp = oracle_topk(
+        oracle_state, q["text"], q["k"], lang=q["filter_lang"], repo=q["filter_repo"]
+    )
+    got = [
+        (r["doc_id"], r["score"])
+        for r in idx.search(
+            q["text"], k=q["k"], lang=q["filter_lang"], repo=q["filter_repo"],
+            exact=True,
+        ).collect()
+    ]
+    assert got == exp, q["text"]
