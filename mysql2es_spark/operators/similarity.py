@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — pure Column math (zip_with +
+aggregate), fully JVM-side, embarrassingly parallel (narrow until the
+final top-k).  Scale path: LSH bucketing by random-hyperplane signature
+(IVF-style candidate restriction) so the per-query work drops from N to
+N/2^bits on average; recall is tunable via multi-probe (searching
+adjacent buckets by flipping signature bits).
+
+Embedding near-duplicate detection reuses the same machinery: bucket
+pairs, verify with exact cosine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _lit_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_cosine_topk(
+    df: DataFrame, vec_col: str, id_col: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact ANN baseline: score every row, take k.  The scan is narrow
+    (no shuffle) and the top-k is a TakeOrdered — no global sort."""
+    q = _lit_vec(query_vec)
+    scored = df.select(
+        F.col(id_col), cosine(F.col(vec_col), q).alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def hyperplanes(dim: int, nbits: int = 8, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nbits, dim)).tolist()
+
+
+def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(dot(v, plane_i)).
+    Returns an int bucket id in [0, 2^nbits)."""
+    bits = [
+        F.when(dot(vec_col, _lit_vec(p)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    nbits: int = 8,
+    seed: int = 42,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """ANN: restrict the brute-force scan to the query's LSH bucket
+    (plus ``multiprobe``-bit-flipped neighbor buckets for recall).
+
+    At scale the table is written partitioned by ``lsh_bucket`` so this
+    becomes partition pruning — the scan reads 1/2^nbits of the data."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, nbits, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(qv, np.asarray(p))) >= 0:
+            qsig |= 1 << i
+    buckets = {qsig}
+    if multiprobe >= 1:
+        for i in range(nbits):
+            buckets.add(qsig ^ (1 << i))
+    if multiprobe >= 2:
+        for i in range(nbits):
+            for j in range(i + 1, nbits):
+                buckets.add(qsig ^ (1 << i) ^ (1 << j))
+    cand = df.withColumn("lsh_bucket", lsh_signature(F.col(vec_col), planes)).filter(
+        F.col("lsh_bucket").isin(sorted(buckets))
+    )
+    return brute_force_cosine_topk(cand, vec_col, id_col, query_vec, k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    nbits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via *banded* hyperplane LSH:
+    the signature's nbits are split into ``bands``; a pair becomes a
+    candidate if it agrees on ALL bits of ANY band (the MinHash-band
+    trick applied to sign bits — a near-identical pair that straddles
+    one hyperplane still collides in the other bands).  Candidates are
+    verified with exact cosine >= threshold."""
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).head()
+    planes = hyperplanes(int(dim_row["d"]), nbits, seed)
+    bits_per = nbits // bands
+    band_cols = []
+    for b in range(bands):
+        sub = planes[b * bits_per:(b + 1) * bits_per]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                lsh_signature(F.col(vec_col), sub).alias("val"),
+            )
+        )
+    sig = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(F.array(*band_cols)).alias("bb"),
+    ).select(id_col, vec_col, "bb.band", "bb.val")
+    pairs = (
+        sig.alias("l")
+        .join(
+            sig.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cosine"),
+        )
+        .distinct()
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs
