@@ -58,6 +58,38 @@ def _round_up(x: int, span: int) -> int:
     return ((x + span - 1) // span) * span
 
 
+def write_dictionary(spark: SparkSession, post_path: str, dict_path: str) -> None:
+    """Per-segment term dictionary: (term, bucket, df).  df = sum of
+    block postings (each (term, doc) appears once).  Query-time df
+    lookup then reads these tiny files instead of scanning block rows."""
+    (
+        spark.read.parquet(post_path)
+        .select("term", "bucket", "n")
+        .groupBy("term", "bucket")
+        .agg(F.sum("n").alias("df"))
+        .coalesce(4)
+        .write.mode("overwrite")
+        .parquet(dict_path)
+    )
+
+
+def _bucket_dir_bytes(post_path: str) -> dict[int, int]:
+    out: dict[int, int] = {}
+    if not os.path.isdir(post_path):
+        return out
+    for d in os.listdir(post_path):
+        if not d.startswith("bucket="):
+            continue
+        b = int(d.split("=", 1)[1])
+        full = os.path.join(post_path, d)
+        out[b] = sum(
+            os.path.getsize(os.path.join(full, f))
+            for f in os.listdir(full)
+            if not f.startswith(("_", "."))
+        )
+    return out
+
+
 def build_segment(
     spark: SparkSession,
     corpus_df: DataFrame,
@@ -77,9 +109,12 @@ def build_segment(
     seg_dir = os.path.join(root, "segments", seg_name)
     doc_path = os.path.join(seg_dir, "docstore")
     post_path = os.path.join(seg_dir, "postings")
+    dict_path = os.path.join(seg_dir, "dictionary")
     build_id = build_id or new_build_id()
 
-    if not (stage_done(doc_path) and stage_done(post_path)):
+    toks = None
+    if not (stage_done(doc_path) and stage_done(post_path)
+            and stage_done(dict_path)):
         df = with_doc_columns(corpus_df)
         if "snapshot_id" not in df.columns:
             df = df.withColumn(
@@ -98,18 +133,23 @@ def build_segment(
                 tf, cfg, max_doc_id=base + max(n_docs, 1) - 1, min_doc_id=base
             )
             write_postings(blocks, post_path)
-        toks.unpersist()
+        if not stage_done(dict_path):
+            write_dictionary(spark, post_path, dict_path)
         wall_ms = int((time.time() - t0) * 1000)
     else:
         wall_ms = 0
 
-    store = spark.read.parquet(doc_path)
+    # segment stats: from the cached token table when we just built it
+    # (no re-read of the docstore parquet), from disk on the resume path
+    store = toks if toks is not None else spark.read.parquet(doc_path)
     agg = store.agg(
         F.count("*").alias("n"),
         F.sum("dl").alias("sdl"),
         F.min("doc_id").alias("lo"),
         F.max("doc_id").alias("hi"),
     ).collect()[0]
+    if toks is not None:
+        toks.unpersist()
     meta = SegmentMeta(
         name=seg_name,
         n_docs=int(agg["n"]),
@@ -119,17 +159,20 @@ def build_segment(
         snapshot_id=snapshot_id,
     )
     if lineage is not None:
+        # rows per bucket from the (tiny) dictionary-side agg on pruned
+        # int columns; bytes from file sizes (driver-side, no byte scan)
+        bucket_bytes = _bucket_dir_bytes(post_path)
         per_bucket = (
             spark.read.parquet(post_path)
+            .select("bucket", "n")
             .groupBy("bucket")
-            .agg(
-                F.count("*").alias("blocks"),
-                F.sum("n").alias("postings"),
-                (F.sum(F.length("docs")) + F.sum(F.length("tfs"))
-                 + F.sum(F.length("dls"))).alias("bytes"),
-            )
+            .agg(F.count("*").alias("blocks"), F.sum("n").alias("postings"))
             .collect()
         )
+        per_bucket = [
+            {**r.asDict(), "bytes": bucket_bytes.get(int(r["bucket"]), 0)}
+            for r in per_bucket
+        ]
         lineage.append(
             spark,
             [
@@ -140,7 +183,7 @@ def build_segment(
                     "status": "done", "snapshot_id": snapshot_id,
                     "segment": seg_name,
                 }
-                for r in per_bucket
+                for r in per_bucket  # dicts (bucket, blocks, postings, bytes)
             ]
             + [
                 {
@@ -240,7 +283,32 @@ def incremental_build(
     target_snap = max(snaps) if snaps else m.last_snapshot_id
     if target_snap == m.last_snapshot_id and min_commit_ts is None:
         return m  # nothing new: work-avoidance guard
+    return apply_delta(spark, new_df, root, cfg, target_snap)
 
+
+def apply_delta(
+    spark: SparkSession,
+    new_df: DataFrame,
+    root: str,
+    cfg: IndexConfig,
+    target_snap: int | None,
+) -> Manifest:
+    """Idempotently upsert a batch of corpus rows into an existing index.
+
+    Shared by the batch incremental path and the Structured Streaming
+    ``foreachBatch`` sink — the reference's page loop and our streaming
+    ingest are the same operation with different batch sources.
+    ``new_df`` needs (repo, path, commit, lang, content[, snapshot_id]).
+    """
+    m = load_current(root)
+    if m is None:
+        return full_build(spark, new_df, root, cfg, snapshot_id=target_snap)
+    lineage = LineageStore(root)
+    if "snapshot_id" not in new_df.columns:
+        new_df = new_df.withColumn(
+            "snapshot_id",
+            F.lit(target_snap if target_snap is not None else 0).cast("long"),
+        )
     # idempotency: drop rows whose doc_key is already indexed (replays)
     existing_keys = _docstores(spark, root, m).select("doc_key")
     new_df = with_doc_columns(new_df).join(existing_keys, "doc_key", "left_anti")
@@ -376,6 +444,9 @@ class SearchIndex:
         if m is None:
             raise FileNotFoundError(f"no CURRENT manifest under {root}")
         self.manifest = m
+        self._docstore_df: DataFrame | None = None
+        self._tombstones_df: DataFrame | None = None
+        self._tombstones_loaded = False
 
     # -- plumbing ---------------------------------------------------------
     def stats(self) -> CorpusStats:
@@ -403,44 +474,65 @@ class SearchIndex:
         return df
 
     def _bucket_py(self, term: str) -> int:
-        # xxhash64 parity with the JVM: compute once via a tiny Spark job
-        # is wasteful per query; cache the literal mapping instead.
-        if not hasattr(self, "_bucket_cache"):
-            self._bucket_cache: dict[str, int] = {}
-        if term not in self._bucket_cache:
-            row = self.spark.createDataFrame(
-                [(term,)], "term string"
-            ).select(term_bucket(F.col("term"), self.manifest.n_buckets)).head()
-            self._bucket_cache[term] = int(row[0])
-        return self._bucket_cache[term]
+        # driver-side XXH64 twin (bit-exact with the JVM, pinned by
+        # tests) — a Spark job per term would cost ~0.8 s each
+        from ..functions.hash import term_bucket_py
+
+        return term_bucket_py(term, self.manifest.n_buckets)
 
     def docstore(self) -> DataFrame:
-        return _docstores(self.spark, self.root, self.manifest)
+        if self._docstore_df is None:
+            self._docstore_df = _docstores(self.spark, self.root, self.manifest)
+        return self._docstore_df
 
     def tombstones(self) -> DataFrame | None:
-        outs = [
-            t
-            for s in self.manifest.segments
-            if s.n_tombstones > 0
-            and (t := _tombstones_of(self.spark, self.root, s)) is not None
-        ]
-        if not outs:
-            return None
-        df = outs[0]
-        for o in outs[1:]:
-            df = df.unionByName(o)
-        return df
+        if not self._tombstones_loaded:
+            outs = [
+                t
+                for s in self.manifest.segments
+                if s.n_tombstones > 0
+                and (t := _tombstones_of(self.spark, self.root, s)) is not None
+            ]
+            df = None
+            if outs:
+                df = outs[0]
+                for o in outs[1:]:
+                    df = df.unionByName(o)
+            self._tombstones_df = df
+            self._tombstones_loaded = True
+        return self._tombstones_df
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
-        """Document frequency per term from the posting dictionary
-        (sum of block n; includes tombstoned docs until compaction —
-        Lucene semantics, applied identically in both scorers)."""
-        rows = (
-            self.postings(terms)
-            .groupBy("term")
-            .agg(F.sum("n").alias("df"))
-            .collect()
-        )
+        """Document frequency per term from the per-segment dictionaries
+        (includes tombstoned docs until compaction — Lucene semantics,
+        applied identically in both scorers).  Dictionaries are tiny
+        (term cardinality), so this is a sub-second lookup; falls back to
+        scanning block rows for pre-dictionary segments."""
+        dict_paths = [
+            p
+            for s in self.manifest.segments
+            if os.path.isdir(
+                p := os.path.join(self.root, "segments", s.name, "dictionary")
+            )
+        ]
+        if len(dict_paths) == len(self.manifest.segments):
+            dfs_ = [self.spark.read.parquet(p) for p in dict_paths]
+            df = dfs_[0]
+            for d in dfs_[1:]:
+                df = df.unionByName(d)
+            rows = (
+                df.filter(F.col("term").isin(terms))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .collect()
+            )
+        else:
+            rows = (
+                self.postings(terms)
+                .groupBy("term")
+                .agg(F.sum("n").alias("df"))
+                .collect()
+            )
         return {r["term"]: int(r["df"]) for r in rows}
 
     def tf_table(self, terms: list[str] | None = None) -> DataFrame:
@@ -598,6 +690,9 @@ def compact(
     posts.mapInPandas(rewrite, POSTING_SCHEMA).repartition("bucket") \
         .sortWithinPartitions("term", "first_doc") \
         .write.mode("overwrite").partitionBy("bucket").parquet(out_post)
+    write_dictionary(
+        spark, out_post, os.path.join(root, "segments", merged_name, "dictionary")
+    )
     store = idx.docstore()
     if tomb is not None:
         store = store.join(tomb, "doc_id", "left_anti")

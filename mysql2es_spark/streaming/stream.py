@@ -1,0 +1,158 @@
+"""Structured Streaming surface (SURVEY §2.9).
+
+The reference is a cron-driven micro-batch daemon (6-field cron,
+README-EN.org:67-68, 166-178) with non-overlapping runs
+(README-EN.org:49), offset tracking (the increment value), and a
+late-data compensation window (README-EN.org:71-77).  Those concerns map
+1:1 onto Structured Streaming:
+
+- trigger schedule  -> ``Trigger.AvailableNow`` / ``processingTime``
+- non-overlap       -> guaranteed per streaming query
+- offset tracking   -> the checkpointLocation + our manifest
+- compensation      -> ``withWatermark`` allowed-lateness on event-time
+                       aggregations; for the index, the idempotent
+                       ``apply_delta`` upsert makes replays safe
+
+``stream_index_ingest`` turns the snapshot-log data directory into a
+file-source stream and applies every micro-batch to the index through
+the same ``apply_delta`` used by the batch path — streaming and batch
+share one code path, which is the whole point of the design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.index import IndexConfig
+from ..plans.build import apply_delta
+from ..sources.corpus import CORPUS_SCHEMA
+
+
+def stream_index_ingest(
+    spark: SparkSession,
+    log_data_dir: str,
+    index_root: str,
+    cfg: IndexConfig,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuously (or catch-up once, with availableNow) ingest corpus
+    rows appended under the snapshot log's data dir into the index.
+
+    Exactly-once-ish: the file source's checkpoint guarantees each file
+    is delivered once; ``apply_delta``'s doc_key anti-join makes
+    accidental replays no-ops (idempotent ids, README-EN.org:88)."""
+    stream = (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", "64")
+        .parquet(f"{log_data_dir}/snap=*")
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_delta(
+            batch_df.sparkSession, batch_df, index_root, cfg,
+            target_snap=None,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="5 seconds")
+    return writer.start()
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "10 minutes",
+    window: str = "5 minutes",
+):
+    """Event-time windowed aggregation with allowed lateness — the
+    generic form of the reference's compensation semantics (late rows
+    within the watermark update their window; older ones are dropped)."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    events = spark.readStream.schema(schema).parquet(events_path)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# cron-driven sync daemon (the reference's scheduling model, batch mode)
+# ---------------------------------------------------------------------------
+
+def parse_simple_cron(expr: str) -> int:
+    """Parse the 6-field second-granularity cron subset the reference
+    documents (`0/5 * * * * *` = every 5 s, README-EN.org:166-178) into a
+    period in seconds.  Supports `0/N` or `*/N` in the seconds field and
+    `0 0/M` minutes; anything else falls back to 60 s (the reference's
+    default cadence, README-EN.org:67-68)."""
+    fields = expr.split()
+    if len(fields) == 6:
+        sec, minute = fields[0], fields[1]
+        for tok, scale in ((sec, 1), (minute, 60)):
+            if "/" in tok:
+                return max(1, int(tok.split("/", 1)[1]) * scale)
+        if sec == "0" and minute == "*":
+            return 60
+    return 60
+
+
+class SyncDaemon:
+    """The reference's main loop (E1+E2) as a driver-side scheduler:
+    fire incremental sync on the cron period, fire compensation on its
+    own period, never overlap runs (sequential loop — the reference
+    postpones a firing while a run is active, README-EN.org:49)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        log,
+        index_root: str,
+        cfg: IndexConfig,
+        cron: str = "0 * * * * *",
+        compensate_cron: str = "0 0/2 * * * *",
+        compensate_second: int = 300,
+        begin_interval_second: int = 1200,
+    ):
+        self.spark = spark
+        self.log = log
+        self.root = index_root
+        self.cfg = cfg
+        self.period = parse_simple_cron(cron)
+        self.comp_period = parse_simple_cron(compensate_cron)
+        self.compensate_second = compensate_second
+        self.begin_interval_second = begin_interval_second
+        self.runs = 0
+
+    def tick(self, now_ts: int) -> str:
+        """One scheduler tick: run sync and/or compensation if due.
+        Returns what ran (for tests); time injected for determinism."""
+        from ..plans.build import compensate, incremental_build
+
+        ran = []
+        if now_ts % self.period == 0:
+            incremental_build(self.spark, self.log, self.root, self.cfg)
+            ran.append("sync")
+        if now_ts % self.comp_period == 0:
+            compensate(
+                self.spark, self.log, self.root, self.cfg,
+                compensate_second=self.compensate_second,
+                begin_interval_second=self.begin_interval_second,
+                now_ts=now_ts,
+            )
+            ran.append("compensate")
+        self.runs += 1
+        return "+".join(ran) if ran else "idle"

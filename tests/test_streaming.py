@@ -1,0 +1,128 @@
+"""Structured Streaming surface: file-stream index ingest through the
+shared apply_delta path, watermarked windowed aggregation, cron daemon."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql2es_spark.operators.index import IndexConfig
+from mysql2es_spark.plans.build import SearchIndex, full_build
+from mysql2es_spark.sources.corpus import SnapshotLog, generate_corpus
+from mysql2es_spark.streaming.stream import (
+    SyncDaemon,
+    parse_simple_cron,
+    stream_index_ingest,
+    windowed_event_counts,
+)
+
+CFG = IndexConfig(n_buckets=4, block_size=32, salt_threshold=100, n_salts=2,
+                  chunk_span=128, id_partitions=4)
+
+
+def test_stream_index_ingest_equals_batch_build(spark, tmp_path):
+    log = SnapshotLog(str(tmp_path / "log"))
+    log.append(generate_corpus(spark, 120, snap_ordinal=0), commit_ts=100)
+    log.append(
+        generate_corpus(spark, 40, snap_ordinal=1, id_start=120), commit_ts=200
+    )
+
+    stream_root = str(tmp_path / "stream_idx")
+    q = stream_index_ingest(
+        spark,
+        os.path.join(str(tmp_path / "log"), "data"),
+        stream_root,
+        CFG,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    batch_root = str(tmp_path / "batch_idx")
+    full_build(spark, log.read_all(spark), batch_root, CFG, snapshot_id=2)
+
+    def keyset(root):
+        idx = SearchIndex(spark, root)
+        tf = idx.tf_table()
+        store = idx.docstore().select("doc_id", "doc_key")
+        return {
+            (r["term"], r["doc_key"], r["tf"])
+            for r in tf.join(store, "doc_id").select("term", "doc_key", "tf").collect()
+        }
+
+    assert keyset(stream_root) == keyset(batch_root)
+
+    # restart with no new files: checkpoint prevents re-delivery; and even
+    # a replay would be an apply_delta no-op (idempotent doc_key anti-join)
+    n_before = SearchIndex(spark, stream_root).manifest.n_docs_total
+    q2 = stream_index_ingest(
+        spark, os.path.join(str(tmp_path / "log"), "data"), stream_root,
+        CFG, checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert SearchIndex(spark, stream_root).manifest.n_docs_total == n_before
+
+
+def test_windowed_event_counts_matches_batch(spark, tmp_path):
+    # file-source streams need a directory, testdata is a single file
+    import shutil
+
+    events_dir = tmp_path / "events_stream"
+    events_dir.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet",
+        events_dir / "part-0.parquet",
+    )
+    events_path = str(events_dir)
+    agg = windowed_event_counts(spark, events_path, watermark="10 minutes",
+                                window="5 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window"]["start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    batch = (
+        spark.read.parquet(events_path)
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .collect()
+    )
+    exp = {
+        (r["window"]["start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in batch
+    }
+    assert got == exp
+
+
+def test_parse_simple_cron():
+    assert parse_simple_cron("0/5 * * * * *") == 5
+    assert parse_simple_cron("*/30 * * * * *") == 30
+    assert parse_simple_cron("0 0/2 * * * *") == 120
+    assert parse_simple_cron("0 * * * * *") == 60
+    assert parse_simple_cron("whatever") == 60
+
+
+def test_sync_daemon_ticks(spark, tmp_path):
+    log = SnapshotLog(str(tmp_path / "log"))
+    log.append(generate_corpus(spark, 60), commit_ts=int(time.time()))
+    root = str(tmp_path / "idx")
+    d = SyncDaemon(
+        spark, log, root, CFG,
+        cron="0/60 * * * * *", compensate_cron="0 0/2 * * * *",
+    )
+    assert d.tick(1) == "idle"
+    assert d.tick(60) == "sync"
+    m1 = SearchIndex(spark, root).manifest
+    assert m1.n_docs_total == 60
+    log.append(generate_corpus(spark, 20, id_start=60, snap_ordinal=1),
+               commit_ts=int(time.time()))
+    assert d.tick(120) == "sync+compensate"
+    assert SearchIndex(spark, root).manifest.n_docs_total == 80
