@@ -13,18 +13,24 @@ Env:
 
 Modes:
   python bench.py              one timed run, one JSON line
-  python bench.py --scaling    same build at local[N/4] and local[N]
-                               (the sandbox form of the north rule's
-                               N-vs-4N cluster-size criterion); prints
-                               the JSON line with scaling fields and
-                               rewrites BENCH.md
+  python bench.py --scaling    N/4 vs N cores (the sandbox form of the
+                               north rule's N-vs-4N cluster criterion):
+                               each level runs PINNED (sched_setaffinity
+                               before the JVM starts) in its own
+                               subprocess, interleaved low/high twice
+                               (this VM has noisy neighbors — min of 2
+                               per level), plus a pure-CPU calibration
+                               of the box's own scaling ceiling.
+                               Prints the JSON line and rewrites BENCH.md.
 """
 
 from __future__ import annotations
 
 import json
+import multiprocessing
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
@@ -54,99 +60,161 @@ BENCH_QUERIES = [
 ]
 
 
-def run_suite(cores: int, n_files: int, workdir: str) -> dict:
-    """Build the index from pre-materialized corpus parquet and query it.
-    Returns per-phase seconds + derived throughputs."""
-    from pyspark.sql import functions as F
-
-    from mysql2es_spark.operators.dedup import (
-        minhash_lsh_candidates,
-        minhash_signature,
-    )
-    from mysql2es_spark.functions.textstats import quality_score, token_count
+def _cfg(n_files: int, cores: int):
     from mysql2es_spark.operators.index import IndexConfig
-    from mysql2es_spark.plans.build import SearchIndex, full_build
-    from mysql2es_spark.session import get_spark
-    from mysql2es_spark.sources.corpus import generate_corpus
 
-    spark = get_spark(app_name=f"bench_c{cores}", cores=cores)
-    timings: dict[str, float] = {}
-
-    corpus_path = os.path.join(workdir, "corpus")
-    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
-        generate_corpus(spark, n_files, partitions=max(cores * 2, 8)).write.mode(
-            "overwrite"
-        ).parquet(corpus_path)
-
-    cfg = IndexConfig(
+    return IndexConfig(
         n_buckets=32,
         block_size=128,
         salt_threshold=max(2000, n_files // 4),
         n_salts=8,
-        id_partitions=32,
-        chunk_span=max(1024, n_files // (cores * 4)),
+        id_partitions=64,
+        chunk_span=max(1024, n_files // 64),
     )
+
+
+def ensure_corpus(workdir: str, n_files: int, cores: int) -> str:
+    from mysql2es_spark.session import get_spark
+    from mysql2es_spark.sources.corpus import generate_corpus
+
+    corpus_path = os.path.join(workdir, "corpus")
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        spark = get_spark(app_name="bench_gen", cores=cores)
+        generate_corpus(spark, n_files, partitions=max(cores * 2, 64)).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+        spark.stop()
+    return corpus_path
+
+
+def run_suite(cores: int, n_files: int, workdir: str,
+              queries: bool = True) -> dict:
+    """Build the index from pre-materialized corpus parquet (+ optionally
+    query it).  Assumes affinity is already set by the caller."""
+    from pyspark.sql import functions as F
+
+    from mysql2es_spark.functions.analyze import tokenize_to_tf
+    from mysql2es_spark.functions.textstats import quality_score, token_count
+    from mysql2es_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signature,
+    )
+    from mysql2es_spark.plans.build import SearchIndex, full_build
+    from mysql2es_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_c{cores}", cores=cores)
+    timings: dict[str, float] = {}
+    corpus_path = os.path.join(workdir, "corpus")
+    corpus = spark.read.parquet(corpus_path)
+
+    # warmup: python workers + page cache + codegen, outside the timings
+    tokenize_to_tf(
+        corpus.limit(1000).selectExpr("0L as doc_id", "content")
+    ).count()
+    corpus.selectExpr("sum(length(content))").collect()
+
+    cfg = _cfg(n_files, cores)
     root = os.path.join(workdir, f"idx_c{cores}")
     shutil.rmtree(root, ignore_errors=True)
 
     t0 = time.time()
-    corpus = spark.read.parquet(corpus_path)
     full_build(spark, corpus, root, cfg, snapshot_id=1)
     timings["index_build"] = time.time() - t0
 
-    idx = SearchIndex(spark, root)
-    t0 = time.time()
-    for q in BENCH_QUERIES:
-        idx.search(q, k=20).collect()
-    timings["bm25_topk_x8"] = time.time() - t0
+    if queries:
+        idx = SearchIndex(spark, root)
+        t0 = time.time()
+        for q in BENCH_QUERIES:
+            idx.search(q, k=20).collect()
+        timings["bm25_topk_x8"] = time.time() - t0
 
-    t0 = time.time()
-    idx.search(BENCH_QUERIES[0], k=20, lang="py").collect()
-    timings["bm25_filtered"] = time.time() - t0
+        t0 = time.time()
+        idx.search(BENCH_QUERIES[0], k=20, lang="py").collect()
+        timings["bm25_filtered"] = time.time() - t0
 
-    t0 = time.time()
-    (
-        corpus.select(
-            token_count("content").alias("n"),
-            quality_score("content").alias("q"),
+        t0 = time.time()
+        (
+            corpus.select(
+                token_count("content").alias("n"),
+                quality_score("content").alias("q"),
+            )
+            .agg(F.sum("n"), F.avg("q"))
+            .collect()
         )
-        .agg(F.sum("n"), F.avg("q"))
-        .collect()
-    )
-    timings["textstats_scan"] = time.time() - t0
+        timings["textstats_scan"] = time.time() - t0
 
-    t0 = time.time()
-    # deterministic ~20k-doc sample WITHOUT limit(): a global limit would
-    # collapse the pipeline to one task; a hash-mod filter keeps the scan
-    # fully parallel (measured: limit() made this stage 16x slower)
-    frac = max(1, n_files // 20_000)
-    sample = corpus.select(
-        F.xxhash64("repo", "path", "commit").alias("did"), "content"
-    ).filter(F.pmod(F.col("did"), F.lit(frac)) == 0)
-    sig = minhash_signature(sample, "content", "did", k=32)
-    minhash_lsh_candidates(sig, "did", k=32, bands=8).filter(
-        F.col("est_jaccard") >= 0.8
-    ).count()
-    timings["minhash_dedup_20k"] = time.time() - t0
+        t0 = time.time()
+        frac = max(1, n_files // 20_000)
+        sample = corpus.select(
+            F.xxhash64("repo", "path", "commit").alias("did"), "content"
+        ).filter(F.pmod(F.col("did"), F.lit(frac)) == 0)
+        sig = minhash_signature(sample, "content", "did", k=32)
+        minhash_lsh_candidates(sig, "did", k=32, bands=8).filter(
+            F.col("est_jaccard") >= 0.8
+        ).count()
+        timings["minhash_dedup_20k"] = time.time() - t0
 
     spark.stop()
     return timings
 
 
+def _burn(_arg):
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 3:
+        x += 1
+    return x
+
+
+def _calibrate_cpu(low: int, high: int) -> float:
+    """Pure-CPU scaling ceiling of this box: total work done by `high`
+    pinned busy loops vs `low`, normalized by the core ratio."""
+    totals = {}
+    for n in (low, high):
+        with multiprocessing.Pool(n) as p:
+            totals[n] = sum(p.map(_burn, range(n)))
+    return (totals[high] / totals[low]) / (high / low)
+
+
 def main() -> None:
     n_files = corpus_files()
+    if "--worker" in sys.argv:
+        i = sys.argv.index("--worker")
+        cores, workdir = int(sys.argv[i + 1]), sys.argv[i + 2]
+        os.sched_setaffinity(0, set(range(cores)))
+        t = run_suite(cores, n_files, workdir, queries="--noqueries" not in sys.argv)
+        print("WORKER_RESULT " + json.dumps(t))
+        return
+
     scaling = "--scaling" in sys.argv
     workdir = tempfile.mkdtemp(prefix="m2es_bench_")
     try:
         result: dict = {"sf": SF_DIR, "n_files": n_files, "cpus": CPUS}
-        queries: dict[str, float] = {}
         if scaling:
             low = max(1, CPUS // 4)
-            t_low = run_suite(low, n_files, workdir)
-            t_high = run_suite(CPUS, n_files, workdir)
+            ensure_corpus(workdir, n_files, CPUS)
+            runs: dict[int, list[dict]] = {low: [], CPUS: []}
+            # interleave low/high twice: this VM's noisy neighbors make
+            # single measurements unreliable; take the min per level
+            for rep in range(2):
+                for c in (low, CPUS):
+                    out = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__),
+                         "--worker", str(c), workdir]
+                        + (["--noqueries"] if rep > 0 else []),
+                        capture_output=True, text=True, env=os.environ,
+                    )
+                    for line in out.stdout.splitlines():
+                        if line.startswith("WORKER_RESULT "):
+                            runs[c].append(json.loads(line[14:]))
+            t_low = {k: min(r[k] for r in runs[low] if k in r)
+                     for k in runs[low][0]}
+            t_high = {k: min(r[k] for r in runs[CPUS] if k in r)
+                      for k in runs[CPUS][0]}
             thr_low = n_files / t_low["index_build"]
             thr_high = n_files / t_high["index_build"]
             eff = (t_low["index_build"] / t_high["index_build"]) / (CPUS / low)
+            ceiling = _calibrate_cpu(low, CPUS)
             queries = {f"c{low}_{k}": round(v, 3) for k, v in t_low.items()}
             queries.update(
                 {f"c{CPUS}_{k}": round(v, 3) for k, v in t_high.items()}
@@ -163,19 +231,23 @@ def main() -> None:
                         "files_per_sec_low": round(thr_low, 2),
                         "files_per_sec_high": round(thr_high, 2),
                         "efficiency": round(eff, 3),
+                        "cpu_ceiling": round(ceiling, 3),
+                        "efficiency_vs_ceiling": round(eff / ceiling, 3)
+                        if ceiling else None,
                     },
                 }
             )
             _write_bench_md(result)
         else:
+            os.sched_setaffinity(0, set(range(CPUS)))
+            ensure_corpus(workdir, n_files, CPUS)
             t = run_suite(CPUS, n_files, workdir)
-            queries = {k: round(v, 3) for k, v in t.items()}
             result.update(
                 {
                     "metric": "index_build_files_per_sec",
                     "value": round(n_files / t["index_build"], 2),
                     "unit": "files/sec",
-                    "queries": queries,
+                    "queries": {k: round(v, 3) for k, v in t.items()},
                 }
             )
         print(json.dumps(result))
@@ -185,20 +257,34 @@ def main() -> None:
 
 def _write_bench_md(result: dict) -> None:
     s = result["scaling"]
+    lo, hi = s["cores_low"], s["cores_high"]
     md = f"""# BENCH — measured numbers
 
 Corpus: {result['n_files']} synthesized source files (deterministic,
-seed=42), same input parquet for both runs.  Machine: local mode,
-single JVM ({s['cores_low']} vs {s['cores_high']} executor threads — the
-sandbox form of the north rule's N-vs-4N cluster-size criterion).
+seed=42), same input parquet for every run.  Runs are CPU-pinned
+(`sched_setaffinity` before the JVM starts) so `local[{lo}]` really gets
+{lo} cores — the sandbox form of the north rule's N-vs-4N cluster-size
+criterion — and interleaved {lo}/{hi}/{lo}/{hi} with min-of-2 per level
+because this VM has noisy neighbors.
 
-| cores | index build files/sec | build sec | 8-query BM25 sec |
-| --- | --- | --- | --- |
-| {s['cores_low']} | {s['files_per_sec_low']} | {result['queries'][f"c{s['cores_low']}_index_build"]} | {result['queries'][f"c{s['cores_low']}_bm25_topk_x8"]} |
-| {s['cores_high']} | {s['files_per_sec_high']} | {result['queries'][f"c{s['cores_high']}_index_build"]} | {result['queries'][f"c{s['cores_high']}_bm25_topk_x8"]} |
+| cores | index build files/sec | build sec (min of 2) |
+| --- | --- | --- |
+| {lo} | {s['files_per_sec_low']} | {result['queries'][f'c{lo}_index_build']} |
+| {hi} | {s['files_per_sec_high']} | {result['queries'][f'c{hi}_index_build']} |
 
-**Scaling efficiency (build): {s['efficiency']}**  (target >= 0.8;
-efficiency = (T_low / T_high) / (cores_high / cores_low))
+**Scaling efficiency (build): {s['efficiency']}** — raw
+`(T_{lo} / T_{hi}) / ({hi}/{lo})`, target >= 0.8.
+
+**Machine ceiling: {s['cpu_ceiling']}** — the same ratio for a pure-CPU
+busy loop on this box ({lo} vs {hi} pinned processes).  A single VM
+shares one memory-bandwidth domain across both levels, unlike a real
+N-vs-4N executor cluster where bandwidth scales with executors; engine
+efficiency normalized to the box ceiling: **{s['efficiency_vs_ceiling']}**.
+
+First-run query timings at {hi} cores: {
+        {k[len(f'c{hi}_'):]: v for k, v in result['queries'].items()
+         if k.startswith(f'c{hi}_') and 'index_build' not in k}
+    }
 
 Raw: `{json.dumps(result)}`
 """

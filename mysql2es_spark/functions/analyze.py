@@ -60,6 +60,43 @@ def tokenize_code(content: pd.Series) -> pd.Series:
     return toks.map(lambda ts: [t.lower() for t in ts])
 
 
+TF_SCHEMA = "doc_id long, dl long, term string, tf long"
+
+
+def tokenize_to_tf(df, content_col: str = "content", id_col: str = "doc_id"):
+    """Fused tokenize + per-doc term count: (doc_id, content) ->
+    (doc_id, dl, term, tf) via ``mapInPandas``.
+
+    This is the hot path of the index build.  Fusing the count into the
+    tokenizer means (a) token arrays are never cached or shuffled —
+    the 100 TB of raw tokens collapses to one (term, doc) row per
+    distinct term map-side, and (b) the downstream tf table needs NO
+    groupBy: each (doc, term) pair is already unique.  Same regex +
+    lowercase as ``tokenize_code`` (lock-step pinned by tests).
+    """
+    import collections
+
+    def run(batches):
+        for pdf in batches:
+            ids, dls, terms, tfs = [], [], [], []
+            toks_series = pdf[content_col].fillna("").str.findall(_CODE_TOKEN_RE)
+            for did, toks in zip(pdf[id_col], toks_series):
+                counts = collections.Counter(t.lower() for t in toks)
+                n = len(counts)
+                ids.extend([did] * n)
+                dls.extend([len(toks)] * n)
+                terms.extend(counts.keys())
+                tfs.extend(counts.values())
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "dl": pd.Series(dls, dtype="int64"),
+                 "term": pd.Series(terms, dtype="object"),
+                 "tf": pd.Series(tfs, dtype="int64")}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, TF_SCHEMA)
+
+
 def tokenize_simple(col: Column | str) -> Column:
     """SQL-expressible tokenizer: lowercase, split on non-alphanumerics.
 

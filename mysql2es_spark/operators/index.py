@@ -53,27 +53,40 @@ class IndexConfig:
                                  # => chunks score independently in parallel
 
 
+_MID_MASK = (1 << 33) - 1
+
+
 def assign_doc_ids(
     df: DataFrame, base: int, cfg: IndexConfig
 ) -> tuple[DataFrame, int]:
-    """Deterministic dense doc_id without a global sort.
+    """Deterministic dense doc_id without a global sort and without a
+    second shuffle.
 
     Hash-repartition by doc_key into a *fixed* number of partitions
-    (independent of cluster size), sort within each partition, then
-    rebase each partition's row_number by the cumulative count of the
-    partitions before it.  Two light jobs instead of one single-partition
-    sort; deterministic across parallelism levels, which also protects
-    the N-vs-4N scaling comparison (SURVEY.md §7 hard part 3).
+    (independent of cluster size), sort within each partition, then tag
+    rows with ``monotonically_increasing_id`` — Spark documents its
+    layout as (partition id << 33) | in-partition ordinal, and the
+    ordinal follows the post-sort iteration order (the expression is
+    non-deterministic, so Catalyst never reorders it across the sort).
+    One light counting job recovers per-partition counts; a broadcast
+    offset map rebases ordinals to dense global ids.  Deterministic
+    across parallelism levels (fixed partition count + per-partition
+    sort), which also protects the N-vs-4N scaling comparison
+    (SURVEY.md §7 hard part 3); the counting job's shuffle files are
+    reused by the main pass.
     """
-    parted = df.repartition(cfg.id_partitions, "doc_key").withColumn(
-        "_pid", F.spark_partition_id()
+    parted = (
+        df.repartition(cfg.id_partitions, "doc_key")
+        .sortWithinPartitions("doc_key")
+        .withColumn("_mid", F.monotonically_increasing_id())
     )
-    parted = parted.persist()
     counts = {
-        r["_pid"]: r["cnt"]
-        for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        int(r["_pid"]): int(r["cnt"])
+        for r in parted.groupBy(
+            F.shiftright("_mid", 33).alias("_pid")
+        ).agg(F.count("*").alias("cnt")).collect()
     }
-    offsets = {}
+    offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -81,14 +94,16 @@ def assign_doc_ids(
     off_df = df.sparkSession.createDataFrame(
         [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
     )
-    w = Window.partitionBy("_pid").orderBy("doc_key")
     out = (
-        parted.join(F.broadcast(off_df), "_pid")
+        parted.withColumn("_pid", F.shiftright("_mid", 33).cast("int"))
+        .join(F.broadcast(off_df), "_pid")
         .withColumn(
             "doc_id",
-            (F.lit(base).cast("long") + F.col("_off") + F.row_number().over(w) - 1),
+            F.lit(base).cast("long")
+            + F.col("_off")
+            + F.col("_mid").bitwiseAND(F.lit(_MID_MASK)),
         )
-        .drop("_pid", "_off")
+        .drop("_pid", "_off", "_mid")
     )
     return out, acc
 

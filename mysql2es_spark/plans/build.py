@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.analyze import tokenize_to_tf
 from ..functions.bm25 import CorpusStats
 from ..functions.codec import decode_varints, encode_varints
 from ..operators.index import (
@@ -112,7 +113,7 @@ def build_segment(
     dict_path = os.path.join(seg_dir, "dictionary")
     build_id = build_id or new_build_id()
 
-    toks = None
+    meta = None
     if not (stage_done(doc_path) and stage_done(post_path)
             and stage_done(dict_path)):
         df = with_doc_columns(corpus_df)
@@ -123,50 +124,82 @@ def build_segment(
             )
         df = df.withColumn("version", F.col("snapshot_id"))
         with_ids, n_docs = assign_doc_ids(df, base, cfg)
-        toks = tokenize_stage(with_ids).persist()
+        # fused tokenize+count: (doc_id, dl, term, tf) straight out of the
+        # Arrow stage — token arrays are never cached or shuffled, and the
+        # tf table needs no groupBy (SURVEY §4: don't carry content/tokens
+        # past analysis).  Only the compact tf table is persisted; the
+        # content-bearing rows recompute from reused shuffle files
+        # (caching wide string rows measurably anti-scales at 32 threads).
+        from pyspark import StorageLevel
+
+        # DISK_ONLY: measured 3-4x faster to materialize than the
+        # MemoryStore levels at 32 threads (serialized heap caching
+        # contends badly); local-disk zstd parquet-ish spill is cheap and
+        # the cached reads are sub-second either way
+        tf = tokenize_to_tf(with_ids).persist(StorageLevel.DISK_ONLY)
         t0 = time.time()
+        tf.count()  # materialize the disk cache once
+        # consumers run sequentially: measured — concurrent driver-thread
+        # jobs thrash python workers/memory at high core counts (52s vs
+        # 14s for the same three jobs at 32 threads)
         if not stage_done(doc_path):
-            toks.select(*DOCSTORE_COLS).write.mode("overwrite").parquet(doc_path)
+            dl_df = tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+            (
+                with_ids.drop("content")
+                .join(dl_df, "doc_id", "left")
+                .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)))
+                .select(*DOCSTORE_COLS)
+                .write.mode("overwrite").parquet(doc_path)
+            )
         if not stage_done(post_path):
-            tf = build_tf(toks.select("doc_id", "dl", "tokens"))
             blocks = encode_postings(
                 tf, cfg, max_doc_id=base + max(n_docs, 1) - 1, min_doc_id=base
             )
             write_postings(blocks, post_path)
+        agg = tf.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+            F.sum("dl").alias("sdl")
+        ).collect()[0]
+        sum_dl = int(agg["sdl"] or 0)
         if not stage_done(dict_path):
             write_dictionary(spark, post_path, dict_path)
         wall_ms = int((time.time() - t0) * 1000)
+        tf.unpersist()
+        # doc ids are dense by construction: [base, base + n_docs)
+        meta = SegmentMeta(
+            name=seg_name,
+            n_docs=int(n_docs),
+            sum_dl=sum_dl,
+            min_doc_id=base,
+            max_doc_id=base + max(n_docs, 1) - 1,
+            snapshot_id=snapshot_id,
+        )
     else:
         wall_ms = 0
 
-    # segment stats: from the cached token table when we just built it
-    # (no re-read of the docstore parquet), from disk on the resume path
-    store = toks if toks is not None else spark.read.parquet(doc_path)
-    agg = store.agg(
-        F.count("*").alias("n"),
-        F.sum("dl").alias("sdl"),
-        F.min("doc_id").alias("lo"),
-        F.max("doc_id").alias("hi"),
-    ).collect()[0]
-    if toks is not None:
-        toks.unpersist()
-    meta = SegmentMeta(
-        name=seg_name,
-        n_docs=int(agg["n"]),
-        sum_dl=int(agg["sdl"] or 0),
-        min_doc_id=int(agg["lo"] if agg["lo"] is not None else base),
-        max_doc_id=int(agg["hi"] if agg["hi"] is not None else base),
-        snapshot_id=snapshot_id,
-    )
+    if meta is None:  # resume path: recover stats from the docstore
+        store = spark.read.parquet(doc_path)
+        agg = store.agg(
+            F.count("*").alias("n"),
+            F.sum("dl").alias("sdl"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        ).collect()[0]
+        meta = SegmentMeta(
+            name=seg_name,
+            n_docs=int(agg["n"]),
+            sum_dl=int(agg["sdl"] or 0),
+            min_doc_id=int(agg["lo"] if agg["lo"] is not None else base),
+            max_doc_id=int(agg["hi"] if agg["hi"] is not None else base),
+            snapshot_id=snapshot_id,
+        )
     if lineage is not None:
-        # rows per bucket from the (tiny) dictionary-side agg on pruned
-        # int columns; bytes from file sizes (driver-side, no byte scan)
+        # per-bucket rows from the (tiny) dictionary parquet; bytes from
+        # file sizes (driver-side) — no scan of the posting binaries
         bucket_bytes = _bucket_dir_bytes(post_path)
         per_bucket = (
-            spark.read.parquet(post_path)
-            .select("bucket", "n")
+            spark.read.parquet(dict_path)
             .groupBy("bucket")
-            .agg(F.count("*").alias("blocks"), F.sum("n").alias("postings"))
+            .agg(F.count("*").alias("blocks"), F.sum("df").alias("postings"))
             .collect()
         )
         per_bucket = [
@@ -447,6 +480,13 @@ class SearchIndex:
         self._docstore_df: DataFrame | None = None
         self._tombstones_df: DataFrame | None = None
         self._tombstones_loaded = False
+        self._dict_cache: dict[str, int] | None = None
+        self._dict_cache_tried = False
+        # driver-side dictionary cache cap: code corpora at sandbox scale
+        # have ~10^3..10^5 distinct terms; at 10^12-file scale the
+        # dictionary no longer fits a driver, so cap and fall back to
+        # bucket-pruned Spark reads
+        self.dict_cache_max_terms = 2_000_000
 
     # -- plumbing ---------------------------------------------------------
     def stats(self) -> CorpusStats:
@@ -508,6 +548,11 @@ class SearchIndex:
         applied identically in both scorers).  Dictionaries are tiny
         (term cardinality), so this is a sub-second lookup; falls back to
         scanning block rows for pre-dictionary segments."""
+        if not self._dict_cache_tried:
+            self._dict_cache_tried = True
+            self._dict_cache = self._try_load_dict_cache()
+        if self._dict_cache is not None:
+            return {t: self._dict_cache[t] for t in terms if t in self._dict_cache}
         dict_paths = [
             p
             for s in self.manifest.segments
@@ -534,6 +579,28 @@ class SearchIndex:
                 .collect()
             )
         return {r["term"]: int(r["df"]) for r in rows}
+
+    def _try_load_dict_cache(self) -> dict[str, int] | None:
+        """Load the whole dictionary driver-side when small enough —
+        query-time df lookup then costs zero Spark jobs."""
+        import pyarrow.dataset as ds
+
+        paths = [
+            os.path.join(self.root, "segments", s.name, "dictionary")
+            for s in self.manifest.segments
+        ]
+        if not all(os.path.isdir(p) for p in paths):
+            return None
+        out: dict[str, int] = {}
+        for p in paths:
+            tbl = ds.dataset(p, format="parquet").to_table(columns=["term", "df"])
+            if len(out) + tbl.num_rows > self.dict_cache_max_terms:
+                return None
+            for t, d in zip(
+                tbl.column("term").to_pylist(), tbl.column("df").to_pylist()
+            ):
+                out[t] = out.get(t, 0) + int(d)
+        return out
 
     def tf_table(self, terms: list[str] | None = None) -> DataFrame:
         """Decode postings back to (term, doc_id, tf, dl) — feeds the
@@ -612,8 +679,10 @@ class SearchIndex:
                 k, self.manifest.chunk_span, allowed=allowed, denied=denied,
             )
         meta = self.docstore().select("doc_id", "doc_key", "repo", "path", "lang")
+        # inner join (every scored doc_id exists in the doc store) so the
+        # tiny top-k side can be the broadcast build side
         return (
-            top.join(meta, "doc_id", "left")
+            F.broadcast(top).join(meta, "doc_id", "inner")
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 

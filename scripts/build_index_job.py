@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the index lifecycle.
+
+Cluster usage (the north_rule ship-shape):
+
+    python scripts/make_pyfiles.py                       # -> dist/mysql2es_spark.zip
+    spark-submit --py-files dist/mysql2es_spark.zip \\
+        scripts/build_index_job.py sync \\
+        --log-root  s3://bucket/corpus_log \\
+        --index-root s3://bucket/index \\
+        --buckets 4096 --id-partitions 4096
+
+Subcommands mirror the reference daemon's modes (README-EN.org:46-49,
+71-77): ``full`` (bootstrap), ``sync`` (incremental), ``compensate``
+(late-data window), ``compact``, ``search``, ``daemon`` (cron loop).
+
+In local mode the same script runs as ``python scripts/build_index_job.py
+... --cores 32``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# allow `python scripts/build_index_job.py` straight from a checkout;
+# under spark-submit --py-files the package comes from the zip instead
+_repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.path.isdir(os.path.join(_repo_root, "mysql2es_spark")):
+    sys.path.insert(0, _repo_root)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="build_index_job")
+    ap.add_argument("mode", choices=[
+        "full", "sync", "compensate", "compact", "search", "daemon",
+    ])
+    ap.add_argument("--log-root", help="snapshot-log root (corpus source)")
+    ap.add_argument("--index-root", required=True)
+    ap.add_argument("--cores", type=int, default=None,
+                    help="local[N]; omit under spark-submit on a cluster")
+    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--block-size", type=int, default=128)
+    ap.add_argument("--salt-threshold", type=int, default=50_000)
+    ap.add_argument("--n-salts", type=int, default=8)
+    ap.add_argument("--id-partitions", type=int, default=32)
+    ap.add_argument("--chunk-span", type=int, default=8192)
+    ap.add_argument("--compensate-second", type=int, default=300)
+    ap.add_argument("--begin-interval-second", type=int, default=1200)
+    ap.add_argument("--cron", default="0 * * * * *")
+    ap.add_argument("--query", help="search mode: query text")
+    ap.add_argument("--k", type=int, default=20)
+    ap.add_argument("--lang")
+    ap.add_argument("--repo")
+    ap.add_argument("--exact", action="store_true")
+    ap.add_argument("--max-ticks", type=int, default=0,
+                    help="daemon mode: stop after N ticks (0 = forever)")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from mysql2es_spark.operators.index import IndexConfig
+    from mysql2es_spark.plans.build import (
+        SearchIndex, compact, compensate, full_build, incremental_build,
+    )
+    from mysql2es_spark.sources.corpus import SnapshotLog
+
+    if args.cores:
+        from mysql2es_spark.session import get_spark
+
+        spark = get_spark(app_name=f"m2es_{args.mode}", cores=args.cores)
+    else:
+        # under spark-submit the session config comes from the cluster
+        spark = SparkSession.builder.appName(f"m2es_{args.mode}").getOrCreate()
+
+    cfg = IndexConfig(
+        n_buckets=args.buckets,
+        block_size=args.block_size,
+        salt_threshold=args.salt_threshold,
+        n_salts=args.n_salts,
+        id_partitions=args.id_partitions,
+        chunk_span=args.chunk_span,
+    )
+
+    if args.mode == "search":
+        idx = SearchIndex(spark, args.index_root)
+        rows = idx.search(
+            args.query or "", k=args.k, lang=args.lang, repo=args.repo,
+            exact=args.exact,
+        ).collect()
+        for r in rows:
+            print(json.dumps(
+                {"doc_key": r["doc_key"], "score": r["score"],
+                 "repo": r["repo"], "path": r["path"], "lang": r["lang"]}
+            ))
+        return 0
+
+    if args.mode == "compact":
+        m = compact(spark, args.index_root, cfg)
+        print(json.dumps({"version": m.version, "n_docs": m.n_docs_total}))
+        return 0
+
+    if not args.log_root:
+        ap.error(f"--log-root required for mode {args.mode}")
+    log = SnapshotLog(args.log_root)
+
+    if args.mode == "full":
+        m = full_build(
+            spark, log.read_all(spark), args.index_root, cfg,
+            snapshot_id=log.current_snapshot_id(),
+        )
+    elif args.mode == "sync":
+        m = incremental_build(spark, log, args.index_root, cfg)
+    elif args.mode == "compensate":
+        m = compensate(
+            spark, log, args.index_root, cfg,
+            compensate_second=args.compensate_second,
+            begin_interval_second=args.begin_interval_second,
+        )
+    else:  # daemon
+        from mysql2es_spark.streaming.stream import SyncDaemon
+
+        d = SyncDaemon(
+            spark, log, args.index_root, cfg, cron=args.cron,
+            compensate_second=args.compensate_second,
+            begin_interval_second=args.begin_interval_second,
+        )
+        ticks = 0
+        while args.max_ticks == 0 or ticks < args.max_ticks:
+            d.tick(int(time.time()))
+            ticks += 1
+            time.sleep(1)
+        m = SearchIndex(spark, args.index_root).manifest
+    print(json.dumps({
+        "version": m.version, "n_docs": m.n_docs_total,
+        "last_snapshot_id": m.last_snapshot_id,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -58,6 +58,34 @@ def test_tokenize_simple_matches_py_twin(spark):
     assert got == [tokenize_simple_py(t) for t in texts]
 
 
+def test_fused_tf_matches_tokenizer(spark):
+    """The fused tokenize+count hot path must agree with
+    explode(tokenize_code) + groupBy — same regex, same lowering."""
+    from pyspark.sql import functions as F
+
+    from mysql2es_spark.functions.analyze import tokenize_to_tf
+    from mysql2es_spark.sources.corpus import generate_corpus
+
+    docs = generate_corpus(spark, 50).select(
+        F.monotonically_increasing_id().alias("doc_id"), "content"
+    )
+    fused = {
+        (r["doc_id"], r["term"]): (r["tf"], r["dl"])
+        for r in tokenize_to_tf(docs).collect()
+    }
+    ref = (
+        docs.select(
+            "doc_id", tokenize_code(F.col("content")).alias("ts")
+        )
+        .select("doc_id", F.size("ts").alias("dl"), F.explode("ts").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+        .collect()
+    )
+    expected = {(r["doc_id"], r["term"]): (r["tf"], r["dl"]) for r in ref}
+    assert fused == expected
+
+
 def test_normalizer_parity(spark):
     """lower(trim(x)) — byte-for-byte the reference's custom normalizer."""
     df = spark.createDataFrame([("  MiXeD Case  ",)], "s string")
