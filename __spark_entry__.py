@@ -469,6 +469,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    nbits=8, multiprobe=1)
     q["ann_lsh_topk"] = ann_lsh_topk
 
+    def ann_ivf_topk(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        qvec = [
+            float(x)
+            for x in e.filter(F.col("vec_id") == 0).head()["embedding"]
+        ]
+        cand = e.filter(F.col("vec_id") > 0).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        cents = SIM.ivf_train_centroids(cand, "emb", n_centroids=8, iters=2)
+        return SIM.ivf_cosine_topk(cand, "emb", "vec_id", qvec, cents,
+                                   k=10, nprobe=3)
+    q["ann_ivf_topk"] = ann_ivf_topk
+
     def media_features(spark, sf):
         media = MM.synth_media(spark, n=48)
         return MM.extract_features(media, use_fake_decoder=True)

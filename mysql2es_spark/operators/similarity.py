@@ -108,6 +108,82 @@ def lsh_cosine_topk(
     return brute_force_cosine_topk(cand, vec_col, id_col, query_vec, k)
 
 
+def ivf_train_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    iters: int = 3,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Mini k-means (Lloyd) for IVF coarse quantization, DataFrame-native:
+    centroids broadcast as literal arrays, assignment is an argmin over
+    JVM-side dot products, update is one groupBy(mean) per iteration.
+    At 100 TB you train on a sample (``sample_fraction``) — centroid
+    quality needs thousands of points, not trillions."""
+    train = df.select(F.col(vec_col).alias("v"))
+    if sample_fraction:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    # deterministic init: first rows by a stable hash order
+    init = (
+        train.withColumn("_h", F.xxhash64(F.col("v").cast("string")))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [list(map(float, r["v"])) for r in init]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = train.withColumn("c", ivf_assign(F.col("v"), cents))
+        rows = (
+            assigned.select("c", F.posexplode("v").alias("pos", "val"))
+            .groupBy("c", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new: dict[int, list[float]] = {}
+        for r in rows:
+            new.setdefault(int(r["c"]), [0.0] * dim)[int(r["pos"])] = float(r["m"])
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    return cents
+
+
+def ivf_assign(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id by cosine (argmin over literal centroids) —
+    pure Column expression, no Python."""
+    sims = [cosine(vec_col, _lit_vec(c)) for c in centroids]
+    best = F.greatest(*sims) if len(sims) > 1 else sims[0]
+    out = F.lit(len(centroids) - 1)
+    for i in reversed(range(len(centroids))):
+        out = F.when(sims[i] == best, F.lit(i)).otherwise(out)
+    return out.cast("int")
+
+
+def ivf_cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN: scan only the ``nprobe`` centroids' cells nearest to the
+    query.  At scale the table is written partitioned by ``ivf_cell``, so
+    this is partition pruning; here the cell filter prunes row groups."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+
+    def cos(c):
+        c = np.asarray(c)
+        return float(c @ qv / (np.linalg.norm(c) * np.linalg.norm(qv) + 1e-30))
+
+    probe = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i]))[:nprobe]
+    cand = df.withColumn("ivf_cell", ivf_assign(F.col(vec_col), centroids)).filter(
+        F.col("ivf_cell").isin(probe)
+    )
+    return brute_force_cosine_topk(cand, vec_col, id_col, query_vec, k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str,

@@ -108,6 +108,23 @@ def test_lsh_topk_finds_planted_neighbor(spark, vectors):
     assert got and got[0]["vec_id"] == 1  # near-identical vector shares bucket
 
 
+def test_ivf_full_probe_equals_brute(spark, vectors):
+    pdf = vectors.toPandas()
+    q = [float(x) for x in pdf[pdf.vec_id == 0].embedding.iloc[0]]
+    cand = vectors.filter(F.col("vec_id") > 0)
+    cents = SIM.ivf_train_centroids(cand, "embedding", n_centroids=4, iters=2)
+    brute = [(r["vec_id"], r["cosine"]) for r in
+             SIM.brute_force_cosine_topk(cand, "embedding", "vec_id", q, 5).collect()]
+    full = [(r["vec_id"], r["cosine"]) for r in
+            SIM.ivf_cosine_topk(cand, "embedding", "vec_id", q, cents, 5,
+                                nprobe=4).collect()]
+    assert full == brute  # probing every cell == exact
+    part = [r["vec_id"] for r in
+            SIM.ivf_cosine_topk(cand, "embedding", "vec_id", q, cents, 5,
+                                nprobe=1).collect()]
+    assert part and part[0] == 1  # planted near-dup lands in the probed cell
+
+
 def test_embedding_near_dup_pairs(spark, vectors):
     pairs = SIM.embedding_near_dup_pairs(
         vectors, "embedding", "vec_id", threshold=0.99
