@@ -349,6 +349,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ev.filter(F.col("ts") >= F.lit(lo)).select("event_id", "user_id")
     q["compensation_window"] = compensation_window
 
+    def set_intersect(spark, sf):
+        ev = _t(spark, sf, "events")
+        a = ev.filter(F.col("value") > 100).select("user_id")
+        b = ev.filter(F.col("event_type") == "click").select("user_id")
+        return a.intersect(b)
+    q["set_intersect"] = set_intersect
+
+    def set_except(spark, sf):
+        ev = _t(spark, sf, "events")
+        a = ev.select("user_id").distinct()
+        b = ev.filter(F.col("event_type") == "error").select("user_id")
+        return a.exceptAll(b.distinct())
+    q["set_except"] = set_except
+
+    def pricing_summary(spark, sf):
+        # TPC-H Q1 shape: multi-aggregate groupBy with decimal-exact sums
+        li = _t(spark, sf, "lineitem")
+        dec = lambda c: F.col(c).cast("decimal(18,2)")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+                F.sum(dec("l_extendedprice")).cast("double").alias("sum_base"),
+                F.sum(
+                    (dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - dec("l_discount")))
+                    .cast("decimal(28,6)")
+                ).cast("double").alias("sum_disc_price"),
+                F.count("*").alias("count_order"),
+            )
+        )
+    q["pricing_summary"] = pricing_summary
+
+    def pivot_status(spark, sf):
+        # pivot via conditional aggregation (SQL-parity form)
+        o = _t(spark, sf, "orders")
+        return o.groupBy("o_orderpriority").agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_f"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_o"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_p"),
+        )
+    q["pivot_status"] = pivot_status
+
     # ---- fulltext operators over documents ------------------------------
     def tf_agg(spark, sf):
         toks = _doc_tokens(_t(spark, sf, "documents"))
@@ -652,6 +695,39 @@ def oracle_sql() -> dict[str, str]:
     sql["compensation_window"] = """
         SELECT event_id, user_id FROM events
         WHERE ts >= (SELECT max(ts) - INTERVAL 300 SECOND FROM events)
+    """
+
+    sql["set_intersect"] = """
+        SELECT user_id FROM events WHERE value > 100
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'click'
+    """
+
+    sql["set_except"] = """
+        SELECT DISTINCT user_id FROM events
+        EXCEPT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    """
+
+    sql["pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               (sum(l_quantity::DECIMAL(18,2)))::double AS sum_qty,
+               (sum(l_extendedprice::DECIMAL(18,2)))::double AS sum_base,
+               (sum((l_extendedprice::DECIMAL(18,2)
+                     * (1::DECIMAL(3,2) - l_discount::DECIMAL(18,2)))::DECIMAL(28,6)))::double
+                 AS sum_disc_price,
+               count(*)::bigint AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    sql["pivot_status"] = """
+        SELECT o_orderpriority,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::bigint AS n_f,
+               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::bigint AS n_o,
+               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::bigint AS n_p
+        FROM orders GROUP BY o_orderpriority
     """
 
     sql["tf_agg"] = f"""
