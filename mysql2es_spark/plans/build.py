@@ -138,7 +138,11 @@ def build_segment(
         # the cached reads are sub-second either way
         tf = tokenize_to_tf(with_ids).persist(StorageLevel.DISK_ONLY)
         t0 = time.time()
-        tf.count()  # materialize the disk cache once
+        # one job materializes the disk cache AND yields sum(dl)
+        agg = tf.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+            F.sum("dl").alias("sdl")
+        ).collect()[0]
+        sum_dl = int(agg["sdl"] or 0)
         # consumers run sequentially: measured — concurrent driver-thread
         # jobs thrash python workers/memory at high core counts (52s vs
         # 14s for the same three jobs at 32 threads)
@@ -156,10 +160,6 @@ def build_segment(
                 tf, cfg, max_doc_id=base + max(n_docs, 1) - 1, min_doc_id=base
             )
             write_postings(blocks, post_path)
-        agg = tf.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
-            F.sum("dl").alias("sdl")
-        ).collect()[0]
-        sum_dl = int(agg["sdl"] or 0)
         if not stage_done(dict_path):
             write_dictionary(spark, post_path, dict_path)
         wall_ms = int((time.time() - t0) * 1000)
@@ -391,6 +391,32 @@ def apply_delta(
             )
         else:
             segments.append(seg)
+
+    # reverse guard: incoming rows that are ALREADY superseded by an
+    # existing newer (repo, path) are tombstoned on arrival — out-of-order
+    # micro-batches / stale replays never resurface old file versions
+    # (version-check semantics, README-EN.org:78-79)
+    new_full = spark.read.parquet(
+        os.path.join(root, "segments", seg_name, "docstore")
+    )
+    old_latest = (
+        _docstores(spark, root, m)
+        .groupBy("repo", "path")
+        .agg(F.max("version").alias("old_version"))
+    )
+    stale_new = (
+        new_full.join(old_latest, ["repo", "path"])
+        .filter(F.col("old_version") > F.col("version"))
+        .select("doc_id")
+        .distinct()
+    )
+    n_stale = stale_new.count()
+    if n_stale > 0:
+        tomb_path = os.path.join(
+            root, "segments", seg_name, f"tombstones-{m.version + 1:06d}"
+        )
+        stale_new.coalesce(1).write.mode("overwrite").parquet(tomb_path)
+        meta = SegmentMeta(**{**meta.__dict__, "n_tombstones": n_stale})
     segments.append(meta)
 
     m2 = Manifest(

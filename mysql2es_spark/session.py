@@ -46,6 +46,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # sandbox corpora are ~100s of MB; the 128 MB default packs them
+        # into 2-4 input splits and caps scan parallelism below the core
+        # count — 16 MB keeps scans wide here, and a real cluster run
+        # overrides it back up via spark-submit --conf
+        .config("spark.sql.files.maxPartitionBytes", "16m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

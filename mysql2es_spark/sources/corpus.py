@@ -178,7 +178,11 @@ class SnapshotLog:
         sid = (snaps[-1].id + 1) if snaps else 1
         ordinal = len(snaps)
         path = os.path.join(self.root, "data", f"snap={sid}")
-        df.write.mode("error").parquet(path)
+        # snapshot_id is PERSISTED in the data files so file-stream
+        # consumers (streaming ingest) see row versions without the log
+        df.withColumn("snapshot_id", F.lit(sid).cast("long")).write.mode(
+            "error"
+        ).parquet(path)
         rows = df.sparkSession.read.parquet(path).count()
         snap = Snapshot(id=sid, ordinal=ordinal, commit_ts=commit_ts, rows=rows)
         # atomic-ish publish: write sidecar then rename (alias-swap analogue,
@@ -194,11 +198,15 @@ class SnapshotLog:
             return spark.createDataFrame(
                 [], CORPUS_SCHEMA + ", snapshot_id long"
             )
-        dfs = [
-            spark.read.parquet(os.path.join(self.root, "data", f"snap={s.id}"))
-            .withColumn("snapshot_id", F.lit(s.id).cast("long"))
-            for s in snaps
-        ]
+        def _one(s: Snapshot) -> DataFrame:
+            d = spark.read.parquet(
+                os.path.join(self.root, "data", f"snap={s.id}")
+            )
+            if "snapshot_id" not in d.columns:  # pre-versioned logs
+                d = d.withColumn("snapshot_id", F.lit(s.id).cast("long"))
+            return d
+
+        dfs = [_one(s) for s in snaps]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)

@@ -44,7 +44,7 @@ def stream_index_ingest(
     is delivered once; ``apply_delta``'s doc_key anti-join makes
     accidental replays no-ops (idempotent ids, README-EN.org:88)."""
     stream = (
-        spark.readStream.schema(CORPUS_SCHEMA)
+        spark.readStream.schema(CORPUS_SCHEMA + ", snapshot_id long")
         .option("maxFilesPerTrigger", "64")
         .parquet(f"{log_data_dir}/snap=*")
     )

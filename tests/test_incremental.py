@@ -105,6 +105,37 @@ def test_upsert_version_guard_and_compaction(spark, tmp_path):
     assert _live_postings_by_key(spark, root) == before
 
 
+def test_out_of_order_stale_batch_never_resurfaces(spark, tmp_path):
+    """A micro-batch carrying an OLDER version of an already-indexed
+    logical file (out-of-order streaming delivery / stale replay) must be
+    tombstoned on arrival — version-check semantics (README-EN.org:78-79)."""
+    from pyspark.sql import functions as F
+
+    from mysql2es_spark.plans.build import apply_delta
+
+    log = SnapshotLog(str(tmp_path / "log"))
+    log.append(generate_corpus(spark, 50, snap_ordinal=5), commit_ts=100)
+    root = str(tmp_path / "idx")
+    incremental_build(spark, log, root, CFG)  # indexed at version 1
+
+    stale = generate_corpus(spark, 5, snap_ordinal=0).withColumn(
+        "snapshot_id", F.lit(0).cast("long")
+    )  # same (repo, path) as ids 0..4, older version, different commit
+    m = apply_delta(spark, stale, root, CFG, target_snap=1)
+    seg_new = m.segments[-1]
+    assert seg_new.n_tombstones == 5  # dead on arrival
+
+    idx = SearchIndex(spark, root)
+    stale_keys = {
+        r["doc_key"]
+        for r in with_doc_columns(stale).select("doc_key").collect()
+    }
+    res = {r["doc_key"] for r in idx.search("import return def class", k=100).collect()}
+    assert res.isdisjoint(stale_keys)
+    # and the current (newer) versions are still served
+    assert len(res) > 0
+
+
 def test_resume_from_partial_build(spark, tmp_path):
     """Kill-and-resume: if the postings stage is missing but the docstore
     stage completed, a re-run rebuilds only postings and the final index
