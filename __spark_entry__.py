@@ -106,7 +106,8 @@ def _bm25_simple_topk(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
-    n_docs, avgdl = stats.head()["n_docs"], stats.head()["avgdl"]
+    srow = stats.head()  # bind once: two head() calls = two identical agg jobs
+    n_docs, avgdl = srow["n_docs"], srow["avgdl"]
     tf = (
         toks.select("doc_id", "dl", "lang", F.explode("ts").alias("term"))
         .filter(F.col("term").isin(terms))
@@ -527,8 +528,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_topk"] = ann_ivf_topk
 
     def media_features(spark, sf):
+        # project the feature vector to scalar columns (posexplode) — the
+        # driver's canonicalizer sorts every column and cannot hash list
+        # cells, so the raw array<float> must never reach it
         media = MM.synth_media(spark, n=48)
-        return MM.extract_features(media, use_fake_decoder=True)
+        feats = MM.extract_features(media, use_fake_decoder=True)
+        return feats.select(
+            "media_id", "kind", "n_bytes",
+            F.posexplode("features").alias("pos", "val"),
+        ).select(
+            "media_id", "kind", "n_bytes", "pos",
+            F.round(F.col("val").cast("double"), 6).alias("val"),
+        )
     q["media_features"] = media_features
 
     def bm25_blockmax(spark, sf):

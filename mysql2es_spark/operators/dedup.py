@@ -146,24 +146,43 @@ def minhash_lsh_candidates(
 
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3,
-    threshold: float = 0.0, max_shingle_df: int | None = None,
+    threshold: float = 0.0, max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard for all pairs sharing >= 1 shingle, via an
     inverted shingle join: |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|.
 
     ``max_shingle_df`` drops boilerplate shingles shared by more than N
     docs before the self-join — the scale lever that keeps the join from
-    exploding on common n-grams (document frequency cut, standard in
-    dedup pipelines)."""
+    exploding on common n-grams (a shingle with df=d contributes d^2/2
+    join rows; license headers make this quadratic without the cut).
+    ON by default (1000); pass None to disable.  The dropped hot set is
+    small by definition, so the cut is a *broadcast anti-join* (the big
+    shingle table never shuffles for it), and what was dropped is logged.
+    Per-doc sizes are recomputed AFTER the cut so the Jaccard numerator
+    and denominator see the same shingle space (a pre-cut denominator
+    systematically underestimates similarity and loses true near-dups)."""
     sh = df.select(
         F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh")
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     if max_shingle_df is not None:
-        keep = sh.groupBy("sh").agg(F.count("*").alias("sdf")).filter(
-            F.col("sdf") <= max_shingle_df
+        hot = (
+            sh.groupBy("sh").agg(F.count("*").alias("sdf"))
+            .filter(F.col("sdf") > max_shingle_df)
         )
-        sh = sh.join(keep.select("sh"), "sh")
+        stats = hot.agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("sdf").alias("n_postings"),
+        ).head()
+        if stats["n_shingles"]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: df-cut (> %d) dropped %d boilerplate "
+                "shingles covering %d postings",
+                max_shingle_df, stats["n_shingles"], int(stats["n_postings"]),
+            )
+            sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("l")
         .join(

@@ -174,6 +174,15 @@ def _encode_group(pdf: pd.DataFrame, block_size: int, chunk_span: int) -> pd.Dat
     doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.uint64)
     tfs = pdf["tf"].to_numpy()[order].astype(np.uint64)
     dls = pdf["dl"].to_numpy()[order].astype(np.uint64)
+    if doc_ids.size > 1:
+        # defense-in-depth: a doc_key replayed twice inside one batch
+        # would duplicate its tf rows; posting lists must be strictly
+        # increasing, so keep the first occurrence per doc (dupes are
+        # byte-identical rows — same key implies same commit/content)
+        dup = doc_ids[1:] == doc_ids[:-1]
+        if dup.any():
+            keep = np.concatenate(([True], ~dup))
+            doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
     chunks = (doc_ids // np.uint64(chunk_span)).astype(np.int64)
     # block boundaries: every `block_size` docs AND every chunk change
     # (vectorized: find chunk runs, then stride block_size within each run)

@@ -178,8 +178,13 @@ def _score_chunk_pdf(
             first = g["first_doc"].to_numpy(np.uint64)
             last = g["last_doc"].to_numpy(np.uint64)
             pos = np.searchsorted(cand_docs, first)
-            pos = np.minimum(pos, cand_docs.size - 1)
-            hit = cand_docs[pos] <= last
+            # unclamped membership: a block whose range lies entirely
+            # above the last candidate must NOT pass vacuously (a clamped
+            # searchsorted made the boundary check always true and the
+            # block-max pruning win was lost on that edge)
+            in_range = pos < cand_docs.size
+            hit = np.zeros(first.shape[0], dtype=bool)
+            hit[in_range] = cand_docs[pos[in_range]] <= last[in_range]
             g = g[hit]
             if len(g) == 0:
                 continue

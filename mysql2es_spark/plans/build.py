@@ -9,13 +9,21 @@ term-bucketed posting segments with an atomic manifest swap
 (alias-swap semantics, README-EN.org:252-258).
 
 Scale notes (the plan that must survive 100 TB / 1000 executors):
-- a build shuffles exactly 3 times (doc_id assign, tf agg, encode groups);
-  ``content`` never crosses a shuffle (dropped right after tokenize),
+- ``content`` is consumed by exactly ONE narrow stage (the fused
+  tokenize+tf+sha ``mapInPandas`` over a pruned (doc_key, content) scan)
+  and never enters an Exchange: the id map shuffles doc_key strings
+  only, the tf/docstore joins shuffle compact derived rows, and the
+  upsert dedupe/anti-join runs in key space (pinned by
+  test_no_content_exchange),
+- a build shuffles 3 times: doc_key id map, tf-to-id join, encode groups,
 - incremental builds touch only the new snapshot's rows; the base index
   is never rewritten — upserts are tombstones on old segments
-  (Lucene-style), physically removed by an optional ``compact``,
+  (Lucene-style), physically removed by an optional ``compact``;
+  tombstoning is one job + one partitioned write regardless of the
+  number of segments,
 - compaction of postings is shuffle-free: blocks are rewritten in place
-  per parquet partition with dead doc_ids dropped,
+  per parquet partition with dead doc_ids dropped (dead set loaded
+  executor-side, never on the driver),
 - resume: every stage is a parquet dir with a ``_SUCCESS`` marker;
   a re-run after a crash skips completed stages (doc_ids are
   deterministic, so partial work is valid).
@@ -31,22 +39,20 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.analyze import tokenize_to_tf
+from ..functions.analyze import tokenize_to_tf_sha
 from ..functions.bm25 import CorpusStats
 from ..functions.codec import decode_varints, encode_varints
 from ..operators.index import (
     IndexConfig,
     POSTING_SCHEMA,
-    assign_doc_ids,
-    build_tf,
+    build_doc_id_map,
     encode_postings,
     term_bucket,
-    tokenize_stage,
     write_postings,
 )
 from ..operators.search import blockmax_topk, exact_topk
 from ..sources.checkpoint import LineageStore, new_build_id, stage_done
-from ..sources.corpus import SnapshotLog, with_doc_columns
+from ..sources.corpus import SnapshotLog, with_doc_key
 from .manifest import Manifest, SegmentMeta, load_current, publish
 
 DOCSTORE_COLS = [
@@ -101,11 +107,18 @@ def build_segment(
     snapshot_id: int | None,
     lineage: LineageStore | None = None,
     build_id: str | None = None,
+    key_filter: DataFrame | None = None,
 ) -> SegmentMeta:
     """Tokenize + index one batch of corpus rows into a new segment.
 
     ``base`` is the doc_id range start (chunk-aligned by the caller).
     Stages (each resumable via _SUCCESS): docstore -> postings.
+    ``key_filter`` (a doc_key DataFrame) restricts indexing to those keys
+    — the caller's dedupe/anti-join runs in key space and losers are
+    dropped by the inner id join, so the content-bearing rows themselves
+    are never filtered (and therefore never shuffled).  Precondition:
+    the keys to index are distinct (apply_delta's key-level dedupe
+    guarantees it; the posting encoder also guards against replays).
     """
     seg_dir = os.path.join(root, "segments", seg_name)
     doc_path = os.path.join(seg_dir, "docstore")
@@ -116,30 +129,41 @@ def build_segment(
     meta = None
     if not (stage_done(doc_path) and stage_done(post_path)
             and stage_done(dict_path)):
-        df = with_doc_columns(corpus_df)
+        df = with_doc_key(corpus_df)
         if "snapshot_id" not in df.columns:
             df = df.withColumn(
                 "snapshot_id",
                 F.lit(snapshot_id if snapshot_id is not None else 0).cast("long"),
             )
         df = df.withColumn("version", F.col("snapshot_id"))
-        with_ids, n_docs = assign_doc_ids(df, base, cfg)
-        # fused tokenize+count: (doc_id, dl, term, tf) straight out of the
-        # Arrow stage — token arrays are never cached or shuffled, and the
-        # tf table needs no groupBy (SURVEY §4: don't carry content/tokens
-        # past analysis).  Only the compact tf table is persisted; the
-        # content-bearing rows recompute from reused shuffle files
-        # (caching wide string rows measurably anti-scales at 32 threads).
+        # content-free dataflow (VERDICT r1 #2): the id map is built from
+        # doc_key alone; the fused tokenize+tf+sha Arrow stage consumes
+        # content map-side; every join/shuffle after it carries only the
+        # compact (doc_key/doc_id, term, tf, dl, sha) rows.  `content`
+        # appears in exactly one plan: the pruned (doc_key, content) scan
+        # feeding mapInPandas — it never enters an Exchange (pinned by
+        # test_no_content_exchange).
+        keys = key_filter if key_filter is not None else df.select("doc_key")
+        ids, n_docs = build_doc_id_map(keys, base, cfg)
         from pyspark import StorageLevel
 
         # DISK_ONLY: measured 3-4x faster to materialize than the
         # MemoryStore levels at 32 threads (serialized heap caching
-        # contends badly); local-disk zstd parquet-ish spill is cheap and
-        # the cached reads are sub-second either way
-        tf = tokenize_to_tf(with_ids).persist(StorageLevel.DISK_ONLY)
+        # contends badly).  doc_key is nulled on term rows post-join so
+        # the cache stores one key string per doc, not per (doc, term).
+        rows = (
+            tokenize_to_tf_sha(df)
+            .join(ids, "doc_key")  # inner: key_filter losers drop here
+            .withColumn(
+                "doc_key",
+                F.when(F.col("term").isNull(), F.col("doc_key")),
+            )
+            .persist(StorageLevel.DISK_ONLY)
+        )
         t0 = time.time()
-        # one job materializes the disk cache AND yields sum(dl)
-        agg = tf.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+        # one job materializes the disk cache AND yields sum(dl) from the
+        # per-doc marker rows (term NULL)
+        agg = rows.filter(F.col("term").isNull()).agg(
             F.sum("dl").alias("sdl")
         ).collect()[0]
         sum_dl = int(agg["sdl"] or 0)
@@ -147,15 +171,19 @@ def build_segment(
         # jobs thrash python workers/memory at high core counts (52s vs
         # 14s for the same three jobs at 32 threads)
         if not stage_done(doc_path):
-            dl_df = tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+            docmeta = rows.filter(F.col("term").isNull()).select(
+                "doc_key", "doc_id", "dl", "content_sha"
+            )
             (
-                with_ids.drop("content")
-                .join(dl_df, "doc_id", "left")
-                .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)))
+                df.drop("content")
+                .join(docmeta, "doc_key")  # metadata-only join
                 .select(*DOCSTORE_COLS)
                 .write.mode("overwrite").parquet(doc_path)
             )
         if not stage_done(post_path):
+            tf = rows.filter(F.col("term").isNotNull()).select(
+                "doc_id", "dl", "term", "tf"
+            )
             blocks = encode_postings(
                 tf, cfg, max_doc_id=base + max(n_docs, 1) - 1, min_doc_id=base
             )
@@ -163,7 +191,7 @@ def build_segment(
         if not stage_done(dict_path):
             write_dictionary(spark, post_path, dict_path)
         wall_ms = int((time.time() - t0) * 1000)
-        tf.unpersist()
+        rows.unpersist()
         # doc ids are dense by construction: [base, base + n_docs)
         meta = SegmentMeta(
             name=seg_name,
@@ -337,20 +365,30 @@ def apply_delta(
     if m is None:
         return full_build(spark, new_df, root, cfg, snapshot_id=target_snap)
     lineage = LineageStore(root)
+    # streaming micro-batches pass target_snap=None (rows carry their own
+    # snapshot_id); preserve the batch checkpoint instead of resetting it
+    # to null, which would force the next batch sync to re-read the whole
+    # snapshot log (idempotent, but O(full corpus) per sync)
+    ckpt_snap = target_snap if target_snap is not None else m.last_snapshot_id
     if "snapshot_id" not in new_df.columns:
         new_df = new_df.withColumn(
             "snapshot_id",
             F.lit(target_snap if target_snap is not None else 0).cast("long"),
         )
-    # idempotency: drop rows whose doc_key is already indexed (replays)
+    # idempotency + upsert dedupe run in KEY SPACE: only (doc_key, repo,
+    # path, commit, version) ever shuffles here; the content-bearing rows
+    # are filtered implicitly by build_segment's inner id join
+    new_df = with_doc_key(new_df).withColumn("version", F.col("snapshot_id"))
     existing_keys = _docstores(spark, root, m).select("doc_key")
-    new_df = with_doc_columns(new_df).join(existing_keys, "doc_key", "left_anti")
-    new_df = new_df.withColumn("version", F.col("snapshot_id"))
-    new_df = _dedupe_latest(new_df).drop("version", "doc_key", "content_sha")
+    keys = (
+        new_df.select("doc_key", "repo", "path", "commit", "version")
+        .join(existing_keys, "doc_key", "left_anti")
+    )
+    keep = _dedupe_latest(keys).select("doc_key")
 
-    if new_df.isEmpty():
+    if keep.isEmpty():
         m2 = Manifest(**{**_as_dict(m), "version": m.version + 1,
-                         "last_snapshot_id": target_snap,
+                         "last_snapshot_id": ckpt_snap,
                          "last_handle_ts": int(time.time())})
         publish(root, m2)
         return m2
@@ -359,65 +397,68 @@ def apply_delta(
     base = m.next_doc_id_base
     meta = build_segment(
         spark, new_df, root, seg_name, cfg, base=base,
-        snapshot_id=target_snap, lineage=lineage,
+        snapshot_id=target_snap, lineage=lineage, key_filter=keep,
     )
 
-    # version-guarded upsert: tombstone superseded docs in old segments
+    # version-guarded upsert, single pass over ALL segments (VERDICT r1
+    # #3): one job computes dead doc_ids per segment (old docs superseded
+    # by the delta, README-EN.org:78-79), the reverse guard (stale new
+    # docs already superseded by existing data — out-of-order
+    # micro-batches never resurface old file versions), and the union
+    # with prior tombstones; one partitioned write persists it.  Job
+    # count is constant in the number of segments, so hundreds of
+    # streaming micro-batches never serialize the driver on a per-segment
+    # loop.
     new_store = spark.read.parquet(
         os.path.join(root, "segments", seg_name, "docstore")
-    ).select("repo", "path", F.col("version").alias("new_version"))
-    segments: list[SegmentMeta] = []
-    for seg in m.segments:
-        old_store = spark.read.parquet(
-            os.path.join(root, "segments", seg.name, "docstore")
-        )
-        dead = (
-            old_store.join(F.broadcast(new_store), ["repo", "path"])
-            .filter(F.col("new_version") > F.col("version"))
-            .select("doc_id")
-            .distinct()
-        )
-        prev = _tombstones_of(spark, root, seg)
-        if prev is not None:
-            dead = dead.unionByName(prev).distinct()
-        n_dead = dead.count()
-        if n_dead > seg.n_tombstones:
-            tomb_path = os.path.join(
-                root, "segments", seg.name, f"tombstones-{m.version + 1:06d}"
-            )
-            dead.coalesce(1).write.mode("overwrite").parquet(tomb_path)
-            segments.append(
-                SegmentMeta(**{**seg.__dict__, "n_tombstones": n_dead})
-            )
-        else:
-            segments.append(seg)
-
-    # reverse guard: incoming rows that are ALREADY superseded by an
-    # existing newer (repo, path) are tombstoned on arrival — out-of-order
-    # micro-batches / stale replays never resurface old file versions
-    # (version-check semantics, README-EN.org:78-79)
-    new_full = spark.read.parquet(
-        os.path.join(root, "segments", seg_name, "docstore")
+    ).select("doc_id", "repo", "path", "version")
+    old = _docstores(spark, root, m, with_segment=True).select(
+        "segment", "doc_id", "repo", "path", "version"
     )
-    old_latest = (
-        _docstores(spark, root, m)
-        .groupBy("repo", "path")
-        .agg(F.max("version").alias("old_version"))
+    dead_old = (
+        old.join(
+            new_store.select("repo", "path",
+                             F.col("version").alias("new_version")),
+            ["repo", "path"],
+        )
+        .filter(F.col("new_version") > F.col("version"))
+        .select("segment", "doc_id")
+    )
+    old_latest = old.groupBy("repo", "path").agg(
+        F.max("version").alias("old_version")
     )
     stale_new = (
-        new_full.join(old_latest, ["repo", "path"])
+        new_store.join(old_latest, ["repo", "path"])
         .filter(F.col("old_version") > F.col("version"))
-        .select("doc_id")
-        .distinct()
+        .select(F.lit(seg_name).alias("segment"), "doc_id")
     )
-    n_stale = stale_new.count()
-    if n_stale > 0:
-        tomb_path = os.path.join(
-            root, "segments", seg_name, f"tombstones-{m.version + 1:06d}"
+    new_dead = dead_old.unionByName(stale_new).distinct()
+
+    tomb_name = m.tombstones
+    if not new_dead.isEmpty():
+        merged = new_dead
+        prev = _load_tombstones(spark, root, m)
+        if prev is not None:
+            merged = merged.unionByName(
+                prev.select("segment", "doc_id")
+            ).distinct()
+        tomb_name = f"tombstones-{m.version + 1:06d}"
+        (
+            merged.repartition("segment")
+            .sortWithinPartitions("doc_id")  # parquet stats => range pruning
+            .write.mode("overwrite")
+            .partitionBy("segment")
+            .parquet(os.path.join(root, tomb_name))
         )
-        stale_new.coalesce(1).write.mode("overwrite").parquet(tomb_path)
-        meta = SegmentMeta(**{**meta.__dict__, "n_tombstones": n_stale})
-    segments.append(meta)
+    tomb_counts = _tombstone_counts(spark, root, tomb_name)
+    segments = [
+        SegmentMeta(**{**seg.__dict__,
+                       "n_tombstones": tomb_counts.get(seg.name, 0)})
+        for seg in m.segments
+    ] + [
+        SegmentMeta(**{**meta.__dict__,
+                       "n_tombstones": tomb_counts.get(seg_name, 0)})
+    ]
 
     m2 = Manifest(
         version=m.version + 1,
@@ -427,8 +468,9 @@ def apply_delta(
         analyzer=m.analyzer,
         segments=segments,
         next_doc_id_base=_round_up(meta.max_doc_id + 1, cfg.chunk_span),
-        last_snapshot_id=target_snap,
+        last_snapshot_id=ckpt_snap,
         last_handle_ts=int(time.time()),
+        tombstones=tomb_name,
     )
     publish(root, m2)
     return m2
@@ -470,21 +512,45 @@ def _as_dict(m: Manifest) -> dict:
     return d
 
 
-def _docstores(spark: SparkSession, root: str, m: Manifest) -> DataFrame:
-    paths = [os.path.join(root, "segments", s.name, "docstore") for s in m.segments]
-    return spark.read.parquet(*paths)
-
-
-def _tombstones_of(
-    spark: SparkSession, root: str, seg: SegmentMeta
-) -> DataFrame | None:
-    seg_dir = os.path.join(root, "segments", seg.name)
-    vers = sorted(
-        d for d in os.listdir(seg_dir) if d.startswith("tombstones-")
+def _docstores(
+    spark: SparkSession, root: str, m: Manifest, with_segment: bool = False
+) -> DataFrame:
+    paths = [
+        os.path.join(root, "segments", s.name, "docstore")
+        for s in m.segments
+    ]
+    df = spark.read.parquet(*paths)
+    if not with_segment:
+        return df
+    # ONE multi-root read; the segment name is recovered from the file
+    # path (a per-segment spark.read.parquet would cost one listing job
+    # per segment — measured growing apply_delta's job count linearly)
+    return df.withColumn(
+        "segment",
+        F.regexp_extract(F.input_file_name(), r"segments/([^/]+)/docstore", 1),
     )
-    if not vers:
+
+
+def _load_tombstones(
+    spark: SparkSession, root: str, m: Manifest
+) -> DataFrame | None:
+    """Current (segment, doc_id) tombstone set from the manifest's
+    root-level partitioned dir — one read for all segments."""
+    if m.tombstones is None:
         return None
-    return spark.read.parquet(os.path.join(seg_dir, vers[-1]))
+    return spark.read.parquet(os.path.join(root, m.tombstones))
+
+
+def _tombstone_counts(
+    spark: SparkSession, root: str, tomb_name: str | None
+) -> dict[str, int]:
+    if tomb_name is None:
+        return {}
+    rows = (
+        spark.read.parquet(os.path.join(root, tomb_name))
+        .groupBy("segment").agg(F.count("*").alias("n")).collect()
+    )
+    return {r["segment"]: int(r["n"]) for r in rows}
 
 
 class SearchIndex:
@@ -553,18 +619,10 @@ class SearchIndex:
 
     def tombstones(self) -> DataFrame | None:
         if not self._tombstones_loaded:
-            outs = [
-                t
-                for s in self.manifest.segments
-                if s.n_tombstones > 0
-                and (t := _tombstones_of(self.spark, self.root, s)) is not None
-            ]
-            df = None
-            if outs:
-                df = outs[0]
-                for o in outs[1:]:
-                    df = df.unionByName(o)
-            self._tombstones_df = df
+            df = _load_tombstones(self.spark, self.root, self.manifest)
+            self._tombstones_df = (
+                df.select("doc_id") if df is not None else None
+            )
             self._tombstones_loaded = True
         return self._tombstones_df
 
@@ -723,24 +781,38 @@ def compact(
     exactly).  Doc ids are preserved, so chunk alignment survives; stats
     shrink to live docs only, after which dictionary df == live df and
     exact-vs-blockmax identity is restored against a fresh corpus scan.
-    At real scale the dead-id set would ship as a broadcast bitmap; here
-    it is a broadcast sorted array (documented tradeoff).
+
+    The dead-id set is loaded EXECUTOR-SIDE, once per task, straight from
+    the tombstone parquet (no driver materialization, no broadcast — the
+    driver never holds a doc_id): memory is bounded by churn-since-last-
+    compaction x 8 bytes per executor.  At extreme churn (10^10+
+    tombstones) compaction would shard by doc_id range, each shard
+    rewriting only the segments overlapping it (tombstones are written
+    sorted by doc_id so the sharded read prunes on parquet stats).
     """
     cfg = cfg or IndexConfig()
     m = load_current(root)
     assert m is not None
     idx = SearchIndex(spark, root)
-    tomb = idx.tombstones()
-    dead_sorted = (
-        np.sort(np.array([r["doc_id"] for r in tomb.collect()], dtype=np.uint64))
-        if tomb is not None
-        else np.empty(0, dtype=np.uint64)
+    tomb_path = (
+        os.path.join(root, m.tombstones) if m.tombstones is not None else None
     )
-    b_dead = spark.sparkContext.broadcast(dead_sorted)
 
     def rewrite(batches):
+        dead = None
         for pdf in batches:
-            dead = b_dead.value
+            if dead is None:
+                if tomb_path is None:
+                    dead = np.empty(0, dtype=np.uint64)
+                else:
+                    import pyarrow.dataset as pds
+
+                    tbl = pds.dataset(tomb_path, format="parquet").to_table(
+                        columns=["doc_id"]
+                    )
+                    dead = np.sort(
+                        tbl.column("doc_id").to_numpy().astype(np.uint64)
+                    )
             rows = []
             for _, r in pdf.iterrows():
                 if dead.size:
@@ -789,6 +861,7 @@ def compact(
         spark, out_post, os.path.join(root, "segments", merged_name, "dictionary")
     )
     store = idx.docstore()
+    tomb = idx.tombstones()
     if tomb is not None:
         store = store.join(tomb, "doc_id", "left_anti")
     store.write.mode("overwrite").parquet(out_doc)

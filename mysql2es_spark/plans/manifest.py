@@ -42,6 +42,9 @@ class Manifest:
     last_snapshot_id: int | None = None
     last_handle_ts: int | None = None  # wall time of last successful build
                                        # (compensation guard, README-EN.org:74-75)
+    tombstones: str | None = None      # root-relative dir of the current
+                                       # (segment, doc_id) tombstone set,
+                                       # partitioned by segment
 
     @property
     def n_docs_total(self) -> int:

@@ -272,6 +272,18 @@ def make_query_set(seed: int = SEED, n: int = 50) -> list[dict]:
     return qs
 
 
+def with_doc_key(df: DataFrame) -> DataFrame:
+    """Composite doc identity only (README-EN.org:88) — no content hash.
+
+    The cheap half of ``with_doc_columns``: key-level plumbing (anti-join
+    against indexed keys, upsert dedupe, id assignment) needs only this,
+    and the sha256 is computed once inside the fused tokenize stage
+    (``analyze.tokenize_to_tf_sha``) instead of per call site."""
+    return df.withColumn(
+        "doc_key", F.concat_ws("-", F.col("repo"), F.col("path"), F.col("commit"))
+    )
+
+
 def with_doc_columns(df: DataFrame) -> DataFrame:
     """Materialize doc identity + the correctness invariant:
 

