@@ -88,18 +88,20 @@ K1, B = 1.2, 0.75
 
 def _doc_tokens(docs: DataFrame) -> DataFrame:
     return docs.select(
-        "doc_id", "lang", tokenize_simple("text").alias("ts")
+        "doc_id", "lang", "source", tokenize_simple("text").alias("ts")
     ).withColumn("dl", F.size("ts").cast("long"))
 
 
 def _bm25_simple_topk(
     spark: SparkSession, sf_dir: str, terms: list[str], k: int,
-    lang: str | None = None,
+    lang: str | None = None, where: str | None = None,
 ) -> DataFrame:
     """Exact BM25 top-k over `documents` with the simple tokenizer;
     stats (N, avgdl, df) over the FULL corpus, filter applied to
-    candidates only (the engine's filtered-search semantics).
-    Arithmetic mirrors the SQL oracle token for token."""
+    candidates only (the engine's filtered-search semantics).  ``where``
+    is an arbitrary SQL predicate over document fields — the engine's
+    generalized doc-store filter.  Arithmetic mirrors the SQL oracle
+    token for token."""
     docs = _t(spark, sf_dir, "documents")
     toks = _doc_tokens(docs)
     stats = toks.agg(
@@ -109,15 +111,18 @@ def _bm25_simple_topk(
     srow = stats.head()  # bind once: two head() calls = two identical agg jobs
     n_docs, avgdl = srow["n_docs"], srow["avgdl"]
     tf = (
-        toks.select("doc_id", "dl", "lang", F.explode("ts").alias("term"))
+        toks.select("doc_id", "dl", "lang", "source",
+                    F.explode("ts").alias("term"))
         .filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "dl", "lang", "term")
+        .groupBy("doc_id", "dl", "lang", "source", "term")
         .agg(F.count("*").alias("tf"))
     )
     dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
     j = tf.join(F.broadcast(dfs), "term")
     if lang is not None:
         j = j.filter(F.col("lang") == lang)
+    if where is not None:
+        j = j.filter(F.expr(where))
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
@@ -147,14 +152,17 @@ _SQL_TOKS = (
 )
 
 
-def _bm25_sql(terms: list[str], k: int, lang: str | None = None) -> str:
+def _bm25_sql(terms: list[str], k: int, lang: str | None = None,
+              where: str | None = None) -> str:
     tlist = ", ".join(f"'{t}'" for t in terms)
     lang_pred = f"AND lang = '{lang}'" if lang else ""
+    if where:
+        lang_pred += f" AND ({where})"
     return f"""
 WITH toks AS (
-  SELECT doc_id, lang, {_SQL_TOKS} AS ts FROM documents
+  SELECT doc_id, lang, source, {_SQL_TOKS} AS ts FROM documents
 ), dl AS (
-  SELECT doc_id, lang, len(ts)::bigint AS dl FROM toks
+  SELECT doc_id, lang, source, len(ts)::bigint AS dl FROM toks
 ), stats AS (
   SELECT count(*)::bigint AS n_docs, sum(dl)::double / count(*) AS avgdl FROM dl
 ), tf AS (
@@ -251,6 +259,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
     q["template_bucket"] = template_bucket_q
+
+    def template_routed_scan(spark, sf):
+        # physical template routing (README-EN.org:261-297): write rows
+        # partitioned by the derived monthly bucket, read back through a
+        # bucket filter — the scan prunes to one physical partition
+        # (PartitionFilters in the plan; engine analogue: per-month
+        # segments pruned by SearchIndex._segments)
+        o = _t(spark, sf, "orders")
+        routed = template_bucket(o, "o_orderdate", "yyyy_MM", out="ym")
+        root = tempfile.mkdtemp(prefix="m2es_route_")
+        routed.select("o_orderkey", "o_totalprice", "ym").write.mode(
+            "overwrite"
+        ).partitionBy("ym").parquet(root)
+        back = spark.read.parquet(root).filter(F.col("ym") == "1995_03")
+        return back.select(
+            "o_orderkey", "o_totalprice", F.col("ym").cast("string").alias("ym")
+        )
+    q["template_routed_scan"] = template_routed_scan
 
     def derived_scalars(spark, sf):
         ev = _t(spark, sf, "events")
@@ -428,6 +454,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def search_filtered(spark, sf):
         return _bm25_simple_topk(spark, sf, _QUERY_TERMS, 20, lang="en")
     q["search_filtered"] = search_filtered
+
+    def search_filtered_where(spark, sf):
+        # generalized doc-store predicate (non-lang column, range + set):
+        # the engine's SearchIndex.search(where=...) semantics
+        return _bm25_simple_topk(
+            spark, sf, _QUERY_TERMS, 20,
+            where="source IN ('src3', 'src7', 'src11') AND doc_id % 2 = 0",
+        )
+    q["search_filtered_where"] = search_filtered_where
 
     # ---- training-data pipeline ops --------------------------------------
     def token_count(spark, sf):
@@ -625,6 +660,11 @@ def oracle_sql() -> dict[str, str]:
         FROM orders GROUP BY 1
     """
 
+    sql["template_routed_scan"] = """
+        SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y_%m') AS ym
+        FROM orders WHERE strftime(o_orderdate, '%Y_%m') = '1995_03'
+    """
+
     sql["derived_scalars"] = """
         SELECT event_id,
                coalesce(value, 0.0) AS value_or_zero,
@@ -763,6 +803,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql["topk_exact"] = _bm25_sql(_QUERY_TERMS, 20)
     sql["search_filtered"] = _bm25_sql(_QUERY_TERMS, 20, lang="en")
+    sql["search_filtered_where"] = _bm25_sql(
+        _QUERY_TERMS, 20,
+        where="source IN ('src3', 'src7', 'src11') AND doc_id % 2 = 0",
+    )
 
     sql["token_count"] = f"""
         SELECT doc_id,

@@ -51,6 +51,14 @@ class IndexConfig:
                                  # cut at chunk boundaries so every doc's
                                  # postings for ALL terms land in one chunk
                                  # => chunks score independently in parallel
+    broadcast_id_threshold: int = 1_000_000
+                                 # doc count under which the (doc_key ->
+                                 # doc_id) map broadcasts into the tf join
+                                 # (typical incremental deltas), so the tf
+                                 # table never shuffles for id assignment;
+                                 # above it (initial 10^12-file builds) the
+                                 # join falls back to a hash shuffle of the
+                                 # compact tf rows
 
 
 _MID_MASK = (1 << 33) - 1

@@ -53,7 +53,13 @@ from ..operators.index import (
 from ..operators.search import blockmax_topk, exact_topk
 from ..sources.checkpoint import LineageStore, new_build_id, stage_done
 from ..sources.corpus import SnapshotLog, with_doc_key
-from .manifest import Manifest, SegmentMeta, load_current, publish
+from .manifest import (
+    Manifest,
+    SegmentMeta,
+    derive_index_schema,
+    load_current,
+    publish,
+)
 
 DOCSTORE_COLS = [
     "doc_id", "doc_key", "repo", "path", "commit", "lang",
@@ -108,6 +114,8 @@ def build_segment(
     lineage: LineageStore | None = None,
     build_id: str | None = None,
     key_filter: DataFrame | None = None,
+    extra_doc_cols: list[str] | None = None,
+    template_bucket: str | None = None,
 ) -> SegmentMeta:
     """Tokenize + index one batch of corpus rows into a new segment.
 
@@ -151,6 +159,8 @@ def build_segment(
         # MemoryStore levels at 32 threads (serialized heap caching
         # contends badly).  doc_key is nulled on term rows post-join so
         # the cache stores one key string per doc, not per (doc, term).
+        if n_docs <= cfg.broadcast_id_threshold:
+            ids = F.broadcast(ids)  # map-side id join: tf rows stay put
         rows = (
             tokenize_to_tf_sha(df)
             .join(ids, "doc_key")  # inner: key_filter losers drop here
@@ -177,7 +187,7 @@ def build_segment(
             (
                 df.drop("content")
                 .join(docmeta, "doc_key")  # metadata-only join
-                .select(*DOCSTORE_COLS)
+                .select(*DOCSTORE_COLS, *(extra_doc_cols or []))
                 .write.mode("overwrite").parquet(doc_path)
             )
         if not stage_done(post_path):
@@ -200,6 +210,7 @@ def build_segment(
             min_doc_id=base,
             max_doc_id=base + max(n_docs, 1) - 1,
             snapshot_id=snapshot_id,
+            template_bucket=template_bucket,
         )
     else:
         wall_ms = 0
@@ -219,6 +230,7 @@ def build_segment(
             min_doc_id=int(agg["lo"] if agg["lo"] is not None else base),
             max_doc_id=int(agg["hi"] if agg["hi"] is not None else base),
             snapshot_id=snapshot_id,
+            template_bucket=template_bucket,
         )
     if lineage is not None:
         # per-bucket rows from the (tiny) dictionary parquet; bytes from
@@ -280,6 +292,77 @@ def full_build(
         next_doc_id_base=_round_up(meta.max_doc_id + 1, cfg.chunk_span),
         last_snapshot_id=snapshot_id,
         last_handle_ts=int(time.time()),
+        schema=derive_index_schema(corpus_df.schema),
+    )
+    publish(root, m)
+    return m
+
+
+def template_routed_build(
+    spark: SparkSession,
+    corpus_df: DataFrame,
+    root: str,
+    template_column: str,
+    template_pattern: str = "yyyy_MM",
+    cfg: IndexConfig | None = None,
+    snapshot_id: int | None = None,
+) -> Manifest:
+    """Physically time-partitioned index build (README-EN.org:124-127,
+    261-297): rows are routed to one segment per ``template_pattern``
+    bucket of ``template_column`` — the monthly-index pattern — and the
+    single manifest plays the alias role (``order_query`` over
+    ``order_*``): an unfiltered search unions every bucket segment, a
+    bucket-filtered search physically reads ONLY that bucket's segment
+    (path-level pruning, asserted by tests via inputFiles).
+
+    Scoring stats (N, avgdl, df) stay GLOBAL across buckets so a
+    bucket-filtered search ranks identically to the equivalent
+    doc-filtered search of the whole index (unlike ES, where per-index
+    idf makes alias scores drift across months).
+
+    The derived bucket is also materialized in each docstore as
+    ``index_bucket``, so generalized ``where`` filters can reference it.
+    The driver loop is one iteration per distinct bucket (months —
+    small by construction); each iteration is a full parallel build.
+    """
+    cfg = cfg or IndexConfig()
+    lineage = LineageStore(root)
+    from ..operators.project import template_bucket as tb
+
+    routed = tb(corpus_df, template_column, template_pattern,
+                out="index_bucket")
+    buckets = sorted(
+        r["index_bucket"]
+        for r in routed.select("index_bucket").distinct().collect()
+    )
+    base = 0
+    segments: list[SegmentMeta] = []
+    for i, b in enumerate(buckets, start=1):
+        meta = build_segment(
+            spark,
+            routed.filter(F.col("index_bucket") == b).drop(template_column),
+            root,
+            f"seg-{i:06d}-{b}",
+            cfg,
+            base=base,
+            snapshot_id=snapshot_id,
+            lineage=lineage,
+            extra_doc_cols=["index_bucket"],
+            template_bucket=b,
+        )
+        segments.append(meta)
+        base = _round_up(meta.max_doc_id + 1, cfg.chunk_span)
+    m = Manifest(
+        version=1,
+        n_buckets=cfg.n_buckets,
+        block_size=cfg.block_size,
+        chunk_span=cfg.chunk_span,
+        segments=segments,
+        next_doc_id_base=base,
+        last_snapshot_id=snapshot_id,
+        last_handle_ts=int(time.time()),
+        template={"column": template_column, "pattern": template_pattern},
+        schema=derive_index_schema(corpus_df.schema),
     )
     publish(root, m)
     return m
@@ -471,6 +554,8 @@ def apply_delta(
         last_snapshot_id=ckpt_snap,
         last_handle_ts=int(time.time()),
         tombstones=tomb_name,
+        template=m.template,
+        schema=m.schema,
     )
     publish(root, m2)
     return m2
@@ -584,14 +669,29 @@ class SearchIndex:
     def stats(self) -> CorpusStats:
         return CorpusStats(self.manifest.n_docs_total, self.manifest.avgdl)
 
-    def postings(self, terms: list[str] | None = None) -> DataFrame:
+    def _segments(self, template_bucket: str | None = None):
+        """Segment subset for a physically-routed query: a bucket filter
+        reads ONLY that bucket's segments (the alias-over-monthly-indices
+        pruning of README-EN.org:261-297)."""
+        segs = self.manifest.segments
+        if template_bucket is None:
+            return segs
+        return [s for s in segs if s.template_bucket == template_bucket]
+
+    def postings(
+        self, terms: list[str] | None = None,
+        template_bucket: str | None = None,
+    ) -> DataFrame:
+        segs = self._segments(template_bucket)
+        if not segs:
+            return self.spark.createDataFrame([], POSTING_SCHEMA)
         # each segment is its own partitioned-parquet root: load separately,
         # unionByName (Spark refuses multi-root partition discovery)
         dfs_ = [
             self.spark.read.parquet(
                 os.path.join(self.root, "segments", s.name, "postings")
             )
-            for s in self.manifest.segments
+            for s in segs
         ]
         df = dfs_[0]
         for d in dfs_[1:]:
@@ -686,7 +786,10 @@ class SearchIndex:
                 out[t] = out.get(t, 0) + int(d)
         return out
 
-    def tf_table(self, terms: list[str] | None = None) -> DataFrame:
+    def tf_table(
+        self, terms: list[str] | None = None,
+        template_bucket: str | None = None,
+    ) -> DataFrame:
         """Decode postings back to (term, doc_id, tf, dl) — feeds the
         exact scorer so exact-vs-blockmax identity is testable on the
         exact same index state."""
@@ -712,21 +815,36 @@ class SearchIndex:
                      "dl": pd.Series(dtype="int64")}
                 )
 
-        return self.postings(terms).mapInPandas(
+        return self.postings(terms, template_bucket).mapInPandas(
             dec, "term string, doc_id long, tf long, dl long"
         )
 
     def _doc_filter(
-        self, lang: str | None, repo: str | None
+        self, lang: str | None, repo: str | None, where=None
     ) -> tuple[DataFrame | None, DataFrame | None]:
+        """Build the allowed-doc_id set for a filtered search.
+
+        ``where`` is an arbitrary predicate over doc-store columns (repo,
+        path, commit, lang, version, snapshot_id, dl, ...) — a SQL
+        boolean expression string or a Column.  The reference's
+        nested/flattened doc model (README-EN.org:232-247) lets queries
+        filter on any document field; ``lang``/``repo`` remain as sugar
+        for the two most common ones.  The predicate is evaluated on the
+        doc-store scan (Catalyst pushes it into parquet) and enters
+        scoring as a chunk-cogrouped semi-join of doc_ids."""
         tomb = self.tombstones()
-        if lang is None and repo is None:
+        preds = []
+        if lang is not None:
+            preds.append(F.col("lang") == lang)
+        if repo is not None:
+            preds.append(F.col("repo") == repo)
+        if where is not None:
+            preds.append(F.expr(where) if isinstance(where, str) else where)
+        if not preds:
             return None, tomb
         ds = self.docstore()
-        if lang is not None:
-            ds = ds.filter(F.col("lang") == lang)
-        if repo is not None:
-            ds = ds.filter(F.col("repo") == repo)
+        for p in preds:
+            ds = ds.filter(p)
         allowed = ds.select("doc_id")
         if tomb is not None:
             allowed = allowed.join(tomb, "doc_id", "left_anti")
@@ -740,6 +858,8 @@ class SearchIndex:
         lang: str | None = None,
         repo: str | None = None,
         exact: bool = False,
+        where=None,
+        template_bucket: str | None = None,
     ) -> DataFrame:
         from ..operators.search import analyze_query
 
@@ -751,15 +871,17 @@ class SearchIndex:
                     "path string, lang string"
             )
         dfs = self.term_dfs(terms)
-        allowed, denied = self._doc_filter(lang, repo)
+        allowed, denied = self._doc_filter(lang, repo, where=where)
         if exact:
             top = exact_topk(
-                self.spark, self.tf_table(terms), self.stats(), dfs, qterms,
+                self.spark, self.tf_table(terms, template_bucket),
+                self.stats(), dfs, qterms,
                 k, allowed=allowed, denied=denied,
             )
         else:
             top = blockmax_topk(
-                self.spark, self.postings(terms), self.stats(), dfs, qterms,
+                self.spark, self.postings(terms, template_bucket),
+                self.stats(), dfs, qterms,
                 k, self.manifest.chunk_span, allowed=allowed, denied=denied,
             )
         meta = self.docstore().select("doc_id", "doc_key", "repo", "path", "lang")
@@ -888,6 +1010,8 @@ def compact(
         next_doc_id_base=m.next_doc_id_base,
         last_snapshot_id=m.last_snapshot_id,
         last_handle_ts=int(time.time()),
+        template=m.template,
+        schema=m.schema,
     )
     publish(root, m2)
     return m2

@@ -28,6 +28,8 @@ class SegmentMeta:
     max_doc_id: int
     n_tombstones: int = 0
     snapshot_id: int | None = None
+    template_bucket: str | None = None  # physical time-routing bucket
+                                        # (README-EN.org:124-127, 261-297)
 
 
 @dataclass
@@ -45,6 +47,15 @@ class Manifest:
     tombstones: str | None = None      # root-relative dir of the current
                                        # (segment, doc_id) tombstone set,
                                        # partitioned by segment
+    template: dict | None = None       # {"column", "pattern"} when the
+                                       # index is physically time-routed
+                                       # (template-column/-pattern,
+                                       # README-EN.org:124-127)
+    schema: dict | None = None         # per-field index mapping derived
+                                       # from the source schema
+                                       # (derive_index_schema; `scheme:
+                                       # true`, README-EN.org:96-97,
+                                       # 181-250)
 
     @property
     def n_docs_total(self) -> int:
@@ -57,6 +68,80 @@ class Manifest:
 
     def segment_dir(self, root: str, name: str) -> str:
         return os.path.join(root, "segments", name)
+
+
+#: ES-style multi-format date contract (README-EN.org:210-217)
+DATE_FORMATS = [
+    "epoch_millis", "yyyy-MM-dd", "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd HH:mm:ss.SSS",
+]
+
+
+def derive_index_schema(
+    schema,
+    text_cols: tuple[str, ...] = ("content",),
+    analyzer: str = "code",
+) -> dict:
+    """DDL-type -> index-type derivation (`scheme: true`,
+    README-EN.org:96-97, 181-250): map each source column to the mapping
+    the reference generates — long/integer for integral types, keyword
+    with the trim+lowercase normalizer for exact-match strings
+    (README-EN.org:190-196, 203-206), analyzed ``text`` for full-text
+    columns (README-EN.org:238-241), multi-format ``date`` for temporal
+    types (README-EN.org:210-217), ``nested`` with recursive properties
+    for list-of-struct (README-EN.org:232-247).
+
+    Takes a ``pyspark.sql.types.StructType``; returns a JSON-able
+    per-field mapping stored in the manifest (the engine's `PUT /index`
+    mappings body, README-EN.org:183-250)."""
+    from pyspark.sql import types as T
+
+    def field_mapping(name: str, dt) -> dict:
+        if isinstance(dt, T.LongType):
+            return {"type": "long"}
+        if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+            return {"type": "integer"}
+        if isinstance(dt, T.BooleanType):
+            return {"type": "boolean"}
+        if isinstance(dt, T.DoubleType):
+            return {"type": "double"}
+        if isinstance(dt, T.FloatType):
+            return {"type": "float"}
+        if isinstance(dt, T.DecimalType):
+            return {"type": "double"}  # money-ish (README-EN.org:100)
+        if isinstance(dt, (T.TimestampType, T.DateType)):
+            return {"type": "date", "format": "||".join(DATE_FORMATS)}
+        if isinstance(dt, T.BinaryType):
+            return {"type": "binary"}
+        if isinstance(dt, T.StringType):
+            if name in text_cols:
+                return {"type": "text", "analyzer": analyzer}
+            return {
+                "type": "keyword",
+                "normalizer": {"filter": ["trim", "lowercase"]},
+            }
+        if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+            return {
+                "type": "nested",
+                "properties": {
+                    f.name: field_mapping(f.name, f.dataType)
+                    for f in dt.elementType.fields
+                },
+            }
+        if isinstance(dt, T.StructType):
+            return {
+                "properties": {
+                    f.name: field_mapping(f.name, f.dataType)
+                    for f in dt.fields
+                }
+            }
+        return {"type": "keyword"}  # conservative fallback
+
+    return {
+        "properties": {
+            f.name: field_mapping(f.name, f.dataType) for f in schema.fields
+        }
+    }
 
 
 def _manifest_path(root: str, version: int) -> str:

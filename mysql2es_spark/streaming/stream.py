@@ -110,49 +110,99 @@ def parse_simple_cron(expr: str) -> int:
     return 60
 
 
+from dataclasses import dataclass
+
+
+@dataclass
+class Relation:
+    """One sync relation — the per-table config entry of the reference's
+    ``relation:`` list (README-EN.org:81-162): a source snapshot log, a
+    target index root, and per-relation compensation overrides
+    (README-EN.org:82-86 shows `compensate-second`/`begin-interval-
+    second` overridden per relation)."""
+
+    log: object
+    index_root: str
+    cfg: IndexConfig | None = None
+    compensate_second: int | None = None       # falls back to daemon-wide
+    begin_interval_second: int | None = None   # falls back to daemon-wide
+
+
 class SyncDaemon:
     """The reference's main loop (E1+E2) as a driver-side scheduler:
     fire incremental sync on the cron period, fire compensation on its
     own period, never overlap runs (sequential loop — the reference
-    postpones a firing while a run is active, README-EN.org:49)."""
+    postpones a firing while a run is active, README-EN.org:49).
+
+    Drives a LIST of relations per run — the reference's top-level
+    config shape is one daemon syncing many tables (README-EN.org:81-162);
+    each relation is an independent (snapshot log -> index root) pair
+    with optional per-relation compensation settings.  The single-
+    relation constructor form (log + index_root) remains supported."""
 
     def __init__(
         self,
         spark: SparkSession,
-        log,
-        index_root: str,
-        cfg: IndexConfig,
+        log=None,
+        index_root: str | None = None,
+        cfg: IndexConfig | None = None,
         cron: str = "0 * * * * *",
         compensate_cron: str = "0 0/2 * * * *",
         compensate_second: int = 300,
         begin_interval_second: int = 1200,
+        relations: list[Relation] | None = None,
     ):
         self.spark = spark
-        self.log = log
-        self.root = index_root
-        self.cfg = cfg
+        self.cfg = cfg or IndexConfig()
+        if relations is None:
+            if log is None or index_root is None:
+                raise ValueError("pass either relations=[...] or log + index_root")
+            relations = [Relation(log=log, index_root=index_root, cfg=cfg)]
+        self.relations = relations
         self.period = parse_simple_cron(cron)
         self.comp_period = parse_simple_cron(compensate_cron)
         self.compensate_second = compensate_second
         self.begin_interval_second = begin_interval_second
         self.runs = 0
 
+    # single-relation accessors kept for the legacy surface/tests
+    @property
+    def log(self):
+        return self.relations[0].log
+
+    @property
+    def root(self) -> str:
+        return self.relations[0].index_root
+
     def tick(self, now_ts: int) -> str:
-        """One scheduler tick: run sync and/or compensation if due.
-        Returns what ran (for tests); time injected for determinism."""
+        """One scheduler tick: run sync and/or compensation if due, for
+        every relation, sequentially (non-overlap invariant).  Returns
+        what ran (for tests); time injected for determinism."""
         from ..plans.build import compensate, incremental_build
 
         ran = []
         if now_ts % self.period == 0:
-            incremental_build(self.spark, self.log, self.root, self.cfg)
+            for rel in self.relations:
+                incremental_build(
+                    self.spark, rel.log, rel.index_root, rel.cfg or self.cfg
+                )
             ran.append("sync")
         if now_ts % self.comp_period == 0:
-            compensate(
-                self.spark, self.log, self.root, self.cfg,
-                compensate_second=self.compensate_second,
-                begin_interval_second=self.begin_interval_second,
-                now_ts=now_ts,
-            )
+            for rel in self.relations:
+                compensate(
+                    self.spark, rel.log, rel.index_root, rel.cfg or self.cfg,
+                    compensate_second=(
+                        rel.compensate_second
+                        if rel.compensate_second is not None
+                        else self.compensate_second
+                    ),
+                    begin_interval_second=(
+                        rel.begin_interval_second
+                        if rel.begin_interval_second is not None
+                        else self.begin_interval_second
+                    ),
+                    now_ts=now_ts,
+                )
             ran.append("compensate")
         self.runs += 1
         return "+".join(ran) if ran else "idle"

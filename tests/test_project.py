@@ -16,3 +16,35 @@ def test_snake_to_camel():
     assert snake_to_camel("user_name") == "userName"
     assert snake_to_camel("c_type") == "cType"
     assert snake_to_camel("already") == "already"
+
+
+def test_derive_index_schema_type_table():
+    """The scheme:true DDL->index-type table (README-EN.org:181-250)."""
+    from pyspark.sql import types as T
+
+    from mysql2es_spark.plans.manifest import derive_index_schema
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("qty", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("price", T.DecimalType(18, 2)),
+        T.StructField("created", T.TimestampType()),
+        T.StructField("item", T.ArrayType(T.StructType([
+            T.StructField("sku_id", T.LongType()),
+            T.StructField("sku_desc", T.StringType()),
+        ]))),
+    ])
+    m = derive_index_schema(schema)["properties"]
+    assert m["id"] == {"type": "long"}
+    assert m["qty"] == {"type": "integer"}
+    assert m["name"]["type"] == "keyword"
+    assert m["name"]["normalizer"]["filter"] == ["trim", "lowercase"]
+    assert m["content"] == {"type": "text", "analyzer": "code"}
+    assert m["price"] == {"type": "double"}
+    assert m["created"]["type"] == "date"
+    assert "epoch_millis" in m["created"]["format"]
+    assert m["item"]["type"] == "nested"
+    assert m["item"]["properties"]["sku_id"] == {"type": "long"}
+    assert m["item"]["properties"]["sku_desc"]["type"] == "keyword"

@@ -24,7 +24,7 @@ K1, B = 1.2, 0.75
 def oracle_state(spark, fixture_index):
     idx = SearchIndex(spark, fixture_index["root"])
     store = idx.docstore().select(
-        "doc_id", "doc_key", "repo", "lang"
+        "doc_id", "doc_key", "repo", "path", "lang"
     ).toPandas()
     tomb = idx.tombstones()
     dead = (
@@ -49,7 +49,8 @@ def oracle_state(spark, fixture_index):
         for t in toks:
             tf[t] = tf.get(t, 0) + 1
         docs[int(r["doc_id"])] = {
-            "tf": tf, "dl": len(toks), "repo": r["repo"], "lang": r["lang"],
+            "tf": tf, "dl": len(toks), "repo": r["repo"],
+            "path": r["path"], "lang": r["lang"],
         }
     dfs = {}
     for d in docs.values():
@@ -63,7 +64,7 @@ def oracle_state(spark, fixture_index):
     }
 
 
-def oracle_topk(state, text, k, lang=None, repo=None):
+def oracle_topk(state, text, k, lang=None, repo=None, pred=None):
     qterms = analyze_query(text)
     scored = []
     for did, d in state["docs"].items():
@@ -72,6 +73,8 @@ def oracle_topk(state, text, k, lang=None, repo=None):
         if lang is not None and d["lang"] != lang:
             continue
         if repo is not None and d["repo"] != repo:
+            continue
+        if pred is not None and not pred(d):
             continue
         s = 0.0
         for t, qtf in qterms:  # ascending term order (sorted by analyze_query)
@@ -129,6 +132,34 @@ def test_blockmax_rank_identical_to_oracle(oracle_state, q):
     assert [g[0] for g in got] == [e[0] for e in exp], q["text"]
     for (gd, gs), (ed, es) in zip(got, exp):
         assert gs == es, (q["text"], gd, gs, es)  # bit-identical float64
+
+
+@pytest.mark.parametrize(
+    "qid,where,pred",
+    [
+        (16, "path LIKE 'src/get/%'", lambda d: d["path"].startswith("src/get/")),
+        (31, "dl > 200", lambda d: d["dl"] > 200),
+        (0, "repo LIKE 'org1/%' AND lang <> 'py'",
+         lambda d: d["repo"].startswith("org1/") and d["lang"] != "py"),
+    ],
+    ids=["path-prefix", "dl-range", "compound"],
+)
+def test_arbitrary_where_rank_identical(oracle_state, qid, where, pred):
+    """Generalized doc-store predicates (VERDICT r1 missing #2): an
+    arbitrary `where` over any docstore column flows through the same
+    allowed-set semi-join as lang/repo and stays rank-identical to the
+    oracle, in both scorers."""
+    q = make_query_set()[qid]
+    idx = oracle_state["idx"]
+    exp = oracle_topk(oracle_state, q["text"], q["k"], pred=pred)
+    for exact in (False, True):
+        got = [
+            (r["doc_id"], r["score"])
+            for r in idx.search(
+                q["text"], k=q["k"], where=where, exact=exact
+            ).collect()
+        ]
+        assert got == exp, (q["text"], where, exact)
 
 
 @pytest.mark.parametrize(

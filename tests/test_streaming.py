@@ -161,3 +161,44 @@ def test_apply_delta_job_count_constant_in_segments(spark, tmp_path):
     early = max(jobs_per_batch[2:6])
     late = max(jobs_per_batch[-4:])
     assert late <= early + 1, jobs_per_batch
+
+
+def test_multi_relation_daemon(spark, tmp_path):
+    """The reference syncs a LIST of relations per run
+    (README-EN.org:81-162): one daemon, two snapshot logs, two index
+    roots, per-relation compensation overrides."""
+    from mysql2es_spark.streaming.stream import Relation
+
+    now = int(time.time())
+    log_a = SnapshotLog(str(tmp_path / "log_a"))
+    log_b = SnapshotLog(str(tmp_path / "log_b"))
+    log_a.append(generate_corpus(spark, 50, snap_ordinal=0), commit_ts=now)
+    log_b.append(generate_corpus(spark, 30, snap_ordinal=0, id_start=1000),
+                 commit_ts=now)
+    root_a, root_b = str(tmp_path / "idx_a"), str(tmp_path / "idx_b")
+    d = SyncDaemon(
+        spark,
+        relations=[
+            Relation(log=log_a, index_root=root_a, cfg=CFG),
+            Relation(log=log_b, index_root=root_b, cfg=CFG,
+                     compensate_second=60, begin_interval_second=600),
+        ],
+        cron="0/60 * * * * *",
+        compensate_cron="0 0/2 * * * *",
+    )
+    assert d.tick(60) == "sync"
+    assert SearchIndex(spark, root_a).manifest.n_docs_total == 50
+    assert SearchIndex(spark, root_b).manifest.n_docs_total == 30
+    # second snapshot lands only in relation A; a tick syncs both but
+    # only A changes (work-avoidance guard on B)
+    log_a.append(generate_corpus(spark, 10, snap_ordinal=1, id_start=50),
+                 commit_ts=now + 1)
+    assert d.tick(120) == "sync+compensate"
+    assert SearchIndex(spark, root_a).manifest.n_docs_total == 60
+    mb = SearchIndex(spark, root_b).manifest
+    assert mb.n_docs_total == 30
+    # manifests carry the derived per-field index mapping (scheme: true)
+    props = mb.schema["properties"]
+    assert props["content"] == {"type": "text", "analyzer": "code"}
+    assert props["repo"]["type"] == "keyword"
+    assert props["repo"]["normalizer"]["filter"] == ["trim", "lowercase"]

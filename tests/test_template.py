@@ -1,0 +1,110 @@
+"""Physical time-partitioned index routing (README-EN.org:124-127,
+261-297): template_routed_build routes rows to one segment per time
+bucket; a bucket-filtered search physically reads only that bucket's
+files; scores stay identical to the equivalent doc-filtered search of
+the whole index (global stats)."""
+
+from pyspark.sql import functions as F
+
+from conftest import TEST_CFG
+from mysql2es_spark.plans.build import SearchIndex, template_routed_build
+from mysql2es_spark.sources.corpus import generate_corpus
+
+
+def _dated_corpus(spark, n=300):
+    # deterministic synthetic date: month 1-3 of 2024 derived from path
+    return generate_corpus(spark, n).withColumn(
+        "commit_ts",
+        F.to_timestamp(
+            F.concat(
+                F.lit("2024-0"),
+                (F.pmod(F.xxhash64("path"), F.lit(3)) + 1).cast("string"),
+                F.lit("-15"),
+            )
+        ),
+    )
+
+
+def test_template_routed_build_and_pruned_search(spark, tmp_path):
+    root = str(tmp_path / "tidx")
+    m = template_routed_build(
+        spark, _dated_corpus(spark), root, "commit_ts", "yyyy_MM",
+        TEST_CFG, snapshot_id=1,
+    )
+    assert {s.template_bucket for s in m.segments} == {
+        "2024_01", "2024_02", "2024_03"
+    }
+    assert m.template == {"column": "commit_ts", "pattern": "yyyy_MM"}
+    # doc_id ranges are disjoint and chunk-aligned across bucket segments
+    for a, b in zip(m.segments, m.segments[1:]):
+        assert b.min_doc_id > a.max_doc_id
+        assert b.min_doc_id % TEST_CFG.chunk_span == 0
+
+    idx = SearchIndex(spark, root)
+    seg = next(s for s in m.segments if s.template_bucket == "2024_02").name
+
+    # physical pruning: the bucket-filtered posting scan touches ONLY the
+    # matching segment's files (the monthly-index pattern's entire point)
+    files = idx.postings(template_bucket="2024_02").inputFiles()
+    assert files and all(f"/{seg}/" in f for f in files)
+    all_files = idx.postings().inputFiles()
+    assert len(all_files) > len(files)  # alias search unions every bucket
+
+    # routed block-max search == generalized where-filter (exact scorer)
+    # over the whole index: same docs, bit-identical float64 scores
+    q = "import return getUserName"
+    routed = [
+        (r["doc_id"], r["score"])
+        for r in idx.search(q, 10, template_bucket="2024_02").collect()
+    ]
+    filtered = [
+        (r["doc_id"], r["score"])
+        for r in idx.search(
+            q, 10, where="index_bucket = '2024_02'", exact=True
+        ).collect()
+    ]
+    assert routed and routed == filtered
+
+    # unfiltered search sees all buckets; unknown bucket sees nothing
+    assert idx.search(q, 10).count() == 10
+    assert idx.search(q, 10, template_bucket="2030_12").count() == 0
+
+    # the routed docstore carries the bucket for display/filtering
+    months = {
+        r["index_bucket"] for r in idx.docstore().select("index_bucket").distinct().collect()
+    }
+    assert months == {"2024_01", "2024_02", "2024_03"}
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_path):
+    """The P9 bucket as a physical parquet partition: a bucket-filtered
+    read must show the filter as a PartitionFilter (pruned at planning,
+    zero data files of other months touched)."""
+    import contextlib
+    import io
+
+    from mysql2es_spark.operators.project import template_bucket
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        F.to_timestamp(
+            F.concat(F.lit("2024-0"), (F.col("id") % 3 + 1).cast("string"),
+                     F.lit("-01"))
+        ).alias("ts"),
+    )
+    routed = template_bucket(df, "ts", "yyyy_MM", out="ym")
+    root = str(tmp_path / "routed")
+    routed.select("id", "ym").write.partitionBy("ym").parquet(root)
+    back = spark.read.parquet(root).filter(F.col("ym") == "2024_02")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain(True)
+    plan = buf.getvalue()
+    # the bucket predicate must appear as a PartitionFilter (pruned at
+    # planning time — data files of other months are never opened);
+    # inputFiles() is not assertable here: it lists the relation's files
+    # pre-pruning for a single multi-partition read
+    assert "PartitionFilters" in plan
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("2024_02" in ln for ln in pf_lines), pf_lines
+    assert back.count() == 333
