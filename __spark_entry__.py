@@ -562,6 +562,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    k=10, nprobe=3)
     q["ann_ivf_topk"] = ann_ivf_topk
 
+    def embedding_near_dup(spark, sf):
+        # banded hyperplane LSH candidates + exact-cosine verify (rows
+        # only: the hyperplane signatures have no SQL twin)
+        e = _t(spark, sf, "embeddings")
+        cand = e.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        pairs = SIM.embedding_near_dup_pairs(cand, "emb", "vec_id",
+                                             threshold=0.9)
+        return pairs.select("a", "b", F.round("cosine", 6).alias("cosine"))
+    q["embedding_near_dup"] = embedding_near_dup
+
     def media_features(spark, sf):
         # project the feature vector to scalar columns (posexplode) — the
         # driver's canonicalizer sorts every column and cannot hash list

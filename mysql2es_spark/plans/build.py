@@ -157,19 +157,34 @@ def build_segment(
 
         # DISK_ONLY: measured 3-4x faster to materialize than the
         # MemoryStore levels at 32 threads (serialized heap caching
-        # contends badly).  doc_key is nulled on term rows post-join so
-        # the cache stores one key string per doc, not per (doc, term).
+        # contends badly).
         if n_docs <= cfg.broadcast_id_threshold:
-            ids = F.broadcast(ids)  # map-side id join: tf rows stay put
-        rows = (
-            tokenize_to_tf_sha(df)
-            .join(ids, "doc_key")  # inner: key_filter losers drop here
-            .withColumn(
-                "doc_key",
-                F.when(F.col("term").isNull(), F.col("doc_key")),
+            # fast path: broadcast the id map ONTO the scan (map-side
+            # join — content stays put, no Exchange), then tokenize keyed
+            # by the dense int64 doc_id.  Every downstream row carries an
+            # 8-byte key instead of a repeated doc_key string — measured
+            # ~3x faster at 100k docs / 32 threads.
+            with_ids = df.join(F.broadcast(ids), "doc_key")
+            rows = tokenize_to_tf_sha(
+                with_ids, key_col="doc_id", key_type="long"
+            ).persist(StorageLevel.DISK_ONLY)
+            store_src = with_ids.drop("content")
+            meta_key = "doc_id"
+        else:
+            # mega-build path (id map too big to broadcast): tokenize
+            # keyed by doc_key; the compact tf rows — never content —
+            # hash-shuffle into the id join
+            rows = (
+                tokenize_to_tf_sha(df)
+                .join(ids, "doc_key")  # inner: key_filter losers drop here
+                .withColumn(
+                    "doc_key",
+                    F.when(F.col("term").isNull(), F.col("doc_key")),
+                )
+                .persist(StorageLevel.DISK_ONLY)
             )
-            .persist(StorageLevel.DISK_ONLY)
-        )
+            store_src = df.drop("content")
+            meta_key = "doc_key"
         t0 = time.time()
         # one job materializes the disk cache AND yields sum(dl) from the
         # per-doc marker rows (term NULL)
@@ -182,11 +197,12 @@ def build_segment(
         # 14s for the same three jobs at 32 threads)
         if not stage_done(doc_path):
             docmeta = rows.filter(F.col("term").isNull()).select(
-                "doc_key", "doc_id", "dl", "content_sha"
+                meta_key, "dl", "content_sha",
+                *(["doc_id"] if meta_key == "doc_key" else []),
             )
             (
-                df.drop("content")
-                .join(docmeta, "doc_key")  # metadata-only join
+                store_src
+                .join(docmeta, meta_key)  # metadata-only join
                 .select(*DOCSTORE_COLS, *(extra_doc_cols or []))
                 .write.mode("overwrite").parquet(doc_path)
             )
@@ -476,12 +492,50 @@ def apply_delta(
         publish(root, m2)
         return m2
 
-    seg_name = f"seg-{m.version + 1:06d}"
     base = m.next_doc_id_base
-    meta = build_segment(
-        spark, new_df, root, seg_name, cfg, base=base,
-        snapshot_id=target_snap, lineage=lineage, key_filter=keep,
-    )
+    if m.template is not None:
+        # routed incremental (README-EN.org:261-297): a manifest built by
+        # template_routed_build keeps routing every delta — one new
+        # segment per time bucket PRESENT IN THE DELTA (normally just the
+        # current month), so monthly physical isolation survives syncs.
+        from ..operators.project import template_bucket as _tb
+
+        tpl_col, tpl_pat = m.template["column"], m.template["pattern"]
+        routed = _tb(new_df, tpl_col, tpl_pat, out="index_bucket")
+        key_buckets = (
+            with_doc_key(routed).select("doc_key", "index_bucket")
+            .join(keep, "doc_key", "left_semi")
+        )
+        buckets = sorted(
+            r["index_bucket"]
+            for r in key_buckets.select("index_bucket").distinct().collect()
+        )
+        new_metas = []
+        for b in buckets:
+            meta = build_segment(
+                spark,
+                routed.filter(F.col("index_bucket") == b).drop(tpl_col),
+                root,
+                f"seg-{m.version + 1:06d}-{b}",
+                cfg,
+                base=base,
+                snapshot_id=target_snap,
+                lineage=lineage,
+                key_filter=key_buckets.filter(
+                    F.col("index_bucket") == b
+                ).select("doc_key"),
+                extra_doc_cols=["index_bucket"],
+                template_bucket=b,
+            )
+            new_metas.append(meta)
+            base = _round_up(meta.max_doc_id + 1, cfg.chunk_span)
+    else:
+        meta = build_segment(
+            spark, new_df, root, f"seg-{m.version + 1:06d}", cfg, base=base,
+            snapshot_id=target_snap, lineage=lineage, key_filter=keep,
+        )
+        new_metas = [meta]
+        base = _round_up(meta.max_doc_id + 1, cfg.chunk_span)
 
     # version-guarded upsert, single pass over ALL segments (VERDICT r1
     # #3): one job computes dead doc_ids per segment (old docs superseded
@@ -492,9 +546,20 @@ def apply_delta(
     # count is constant in the number of segments, so hundreds of
     # streaming micro-batches never serialize the driver on a per-segment
     # loop.
-    new_store = spark.read.parquet(
-        os.path.join(root, "segments", seg_name, "docstore")
-    ).select("doc_id", "repo", "path", "version")
+    new_paths = [
+        os.path.join(root, "segments", nm.name, "docstore")
+        for nm in new_metas
+    ]
+    new_store = (
+        spark.read.parquet(*new_paths)
+        .withColumn(
+            "segment",
+            F.regexp_extract(
+                F.input_file_name(), r"segments/([^/]+)/docstore", 1
+            ),
+        )
+        .select("segment", "doc_id", "repo", "path", "version")
+    )
     old = _docstores(spark, root, m, with_segment=True).select(
         "segment", "doc_id", "repo", "path", "version"
     )
@@ -513,7 +578,7 @@ def apply_delta(
     stale_new = (
         new_store.join(old_latest, ["repo", "path"])
         .filter(F.col("old_version") > F.col("version"))
-        .select(F.lit(seg_name).alias("segment"), "doc_id")
+        .select("segment", "doc_id")
     )
     new_dead = dead_old.unionByName(stale_new).distinct()
 
@@ -537,10 +602,7 @@ def apply_delta(
     segments = [
         SegmentMeta(**{**seg.__dict__,
                        "n_tombstones": tomb_counts.get(seg.name, 0)})
-        for seg in m.segments
-    ] + [
-        SegmentMeta(**{**meta.__dict__,
-                       "n_tombstones": tomb_counts.get(seg_name, 0)})
+        for seg in m.segments + new_metas
     ]
 
     m2 = Manifest(
@@ -550,7 +612,7 @@ def apply_delta(
         chunk_span=m.chunk_span,
         analyzer=m.analyzer,
         segments=segments,
-        next_doc_id_base=_round_up(meta.max_doc_id + 1, cfg.chunk_span),
+        next_doc_id_base=base,
         last_snapshot_id=ckpt_snap,
         last_handle_ts=int(time.time()),
         tombstones=tomb_name,

@@ -144,12 +144,30 @@ def derive_index_schema(
     }
 
 
+def assert_local_root(root: str) -> str:
+    """Manifest publish/load, _SUCCESS markers, tombstone listing, and
+    bucket-size accounting use os.path primitives, so index/log roots
+    must be LOCAL paths (or a shared POSIX mount like NFS — which is how
+    a multi-node deployment would share them today).  Object-store roots
+    (s3://, hdfs://, ...) need these operations routed through the
+    Hadoop FileSystem API (`spark._jvm.org.apache.hadoop.fs`) — fail
+    loudly instead of silently mis-detecting resume state."""
+    if "://" in root and not root.startswith("file://"):
+        raise NotImplementedError(
+            f"non-local index root {root!r}: manifest/marker/tombstone "
+            "bookkeeping is os.path-based; route it through the Hadoop "
+            "FileSystem API before pointing at an object store"
+        )
+    return root[7:] if root.startswith("file://") else root
+
+
 def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, f"manifest-{version:06d}.json")
 
 
 def publish(root: str, m: Manifest) -> None:
     """Write manifest-<v>.json, then atomically swing CURRENT to it."""
+    root = assert_local_root(root)
     os.makedirs(root, exist_ok=True)
     with open(_manifest_path(root, m.version), "w") as f:
         json.dump(asdict(m), f, indent=1)
@@ -160,6 +178,7 @@ def publish(root: str, m: Manifest) -> None:
 
 
 def load_current(root: str) -> Manifest | None:
+    root = assert_local_root(root)
     cur = os.path.join(root, "CURRENT")
     if not os.path.exists(cur):
         return None

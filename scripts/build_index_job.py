@@ -6,9 +6,14 @@ Cluster usage (the north_rule ship-shape):
     python scripts/make_pyfiles.py                       # -> dist/mysql2es_spark.zip
     spark-submit --py-files dist/mysql2es_spark.zip \\
         scripts/build_index_job.py sync \\
-        --log-root  s3://bucket/corpus_log \\
-        --index-root s3://bucket/index \\
+        --log-root  /mnt/shared/corpus_log \\
+        --index-root /mnt/shared/index \\
         --buckets 4096 --id-partitions 4096
+
+Index/log roots must be LOCAL or shared-POSIX paths (NFS/FUSE mounts):
+manifest/marker/tombstone bookkeeping is os.path-based and fails loudly
+on object-store URIs (``assert_local_root``) — route those ops through
+the Hadoop FileSystem API before pointing at s3://.
 
 Subcommands mirror the reference daemon's modes (README-EN.org:46-49,
 71-77): ``full`` (bootstrap), ``sync`` (incremental), ``compensate``

@@ -88,11 +88,17 @@ def _exchange_blocks(plan: str) -> list[str]:
     return blocks
 
 
-def test_no_content_exchange(spark):
+import pytest
+
+
+@pytest.mark.parametrize("path", ["broadcast", "shuffle"])
+def test_no_content_exchange(spark, path):
     """VERDICT r1 #2: at 100 TB, shuffling raw file bodies is the
-    scale-killer.  Reconstruct the build's dataflow fragments and assert
-    no Exchange operator's schema contains the `content` attribute —
-    content is consumed by the single narrow tokenize+sha stage only."""
+    scale-killer.  Reconstruct the build's dataflow fragments — BOTH the
+    broadcast-id fast path and the mega-build shuffle-join path — and
+    assert no Exchange operator's schema contains the `content`
+    attribute: content is consumed by the single narrow tokenize+sha
+    stage only."""
     from mysql2es_spark.functions.analyze import tokenize_to_tf_sha
     from mysql2es_spark.operators.index import build_doc_id_map, encode_postings
     from mysql2es_spark.plans.build import DOCSTORE_COLS
@@ -106,19 +112,32 @@ def test_no_content_exchange(spark):
         .withColumn("version", F.col("snapshot_id"))
     )
     ids, n_docs = build_doc_id_map(df.select("doc_key"), 0, TEST_CFG)
-    rows = (
-        tokenize_to_tf_sha(df)
-        .join(ids, "doc_key")
-        .withColumn("doc_key", F.when(F.col("term").isNull(), F.col("doc_key")))
-    )
+    if path == "broadcast":
+        with_ids = df.join(F.broadcast(ids), "doc_key")
+        rows = tokenize_to_tf_sha(with_ids, key_col="doc_id", key_type="long")
+        docmeta = rows.filter(F.col("term").isNull()).select(
+            "doc_id", "dl", "content_sha"
+        )
+        docstore = (
+            with_ids.drop("content").join(docmeta, "doc_id")
+            .select(*DOCSTORE_COLS)
+        )
+    else:
+        rows = (
+            tokenize_to_tf_sha(df)
+            .join(ids, "doc_key")
+            .withColumn(
+                "doc_key", F.when(F.col("term").isNull(), F.col("doc_key"))
+            )
+        )
+        docmeta = rows.filter(F.col("term").isNull()).select(
+            "doc_key", "doc_id", "dl", "content_sha"
+        )
+        docstore = (
+            df.drop("content").join(docmeta, "doc_key").select(*DOCSTORE_COLS)
+        )
     tf = rows.filter(F.col("term").isNotNull()).select("doc_id", "dl", "term", "tf")
     blocks = encode_postings(tf, TEST_CFG, max_doc_id=n_docs - 1)
-    docmeta = rows.filter(F.col("term").isNull()).select(
-        "doc_key", "doc_id", "dl", "content_sha"
-    )
-    docstore = (
-        df.drop("content").join(docmeta, "doc_key").select(*DOCSTORE_COLS)
-    )
     content_attr = re.compile(r"\bcontent#\d+")
     for frag in (blocks, docstore, ids):
         plan = _formatted_plan(frag)

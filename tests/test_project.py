@@ -48,3 +48,14 @@ def test_derive_index_schema_type_table():
     assert m["item"]["type"] == "nested"
     assert m["item"]["properties"]["sku_id"] == {"type": "long"}
     assert m["item"]["properties"]["sku_desc"]["type"] == "keyword"
+
+
+def test_assert_local_root():
+    import pytest as _pytest
+
+    from mysql2es_spark.plans.manifest import assert_local_root
+
+    assert assert_local_root("/tmp/idx") == "/tmp/idx"
+    assert assert_local_root("file:///tmp/idx") == "/tmp/idx"
+    with _pytest.raises(NotImplementedError):
+        assert_local_root("s3://bucket/idx")

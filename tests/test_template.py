@@ -108,3 +108,53 @@ def test_partitioned_write_prunes_scan(spark, tmp_path):
     pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("2024_02" in ln for ln in pf_lines), pf_lines
     assert back.count() == 333
+
+
+def test_template_routed_incremental(spark, tmp_path):
+    """A manifest built with a template keeps routing every delta: new
+    docs land in per-month segments, updates tombstone the old month's
+    segment, and the routed index stays rank-identical to the filtered
+    exact scorer."""
+    from mysql2es_spark.plans.build import apply_delta
+
+    root = str(tmp_path / "tidx")
+    m1 = template_routed_build(
+        spark, _dated_corpus(spark, 200), root, "commit_ts", "yyyy_MM",
+        TEST_CFG, snapshot_id=1,
+    )
+    # delta: 30 new docs in 2024-04 + 10 updates of existing docs (same
+    # repo/path, higher version) dated 2024-05
+    new = generate_corpus(spark, 30, snap_ordinal=0, id_start=500).withColumn(
+        "commit_ts", F.to_timestamp(F.lit("2024-04-10"))
+    )
+    upd = generate_corpus(spark, 10, snap_ordinal=1, id_start=0).withColumn(
+        "commit_ts", F.to_timestamp(F.lit("2024-05-02"))
+    )
+    delta = new.unionByName(upd).withColumn(
+        "snapshot_id", F.lit(2).cast("long")
+    )
+    m2 = apply_delta(spark, delta, root, TEST_CFG, target_snap=2)
+    by_bucket = {s.template_bucket: s for s in m2.segments}
+    assert "2024_04" in by_bucket and by_bucket["2024_04"].n_docs == 30
+    assert "2024_05" in by_bucket and by_bucket["2024_05"].n_docs == 10
+    assert m2.n_docs_total == 240
+    # the 10 updates tombstoned their old versions in the original months
+    assert sum(s.n_tombstones for s in m2.segments) == 10
+    assert m2.template == m1.template
+
+    idx = SearchIndex(spark, root)
+    # new-month routed search only reads that month's segment
+    files = idx.postings(template_bucket="2024_04").inputFiles()
+    assert files and all(f"/{by_bucket['2024_04'].name}/" in f for f in files)
+    q = "import return"
+    routed = [
+        (r["doc_id"], r["score"])
+        for r in idx.search(q, 10, template_bucket="2024_04").collect()
+    ]
+    filtered = [
+        (r["doc_id"], r["score"])
+        for r in idx.search(
+            q, 10, where="index_bucket = '2024_04'", exact=True
+        ).collect()
+    ]
+    assert routed and routed == filtered
