@@ -153,11 +153,6 @@ def build_segment(
         # test_no_content_exchange).
         keys = key_filter if key_filter is not None else df.select("doc_key")
         ids, n_docs = build_doc_id_map(keys, base, cfg)
-        from pyspark import StorageLevel
-
-        # DISK_ONLY: measured 3-4x faster to materialize than the
-        # MemoryStore levels at 32 threads (serialized heap caching
-        # contends badly).
         if n_docs <= cfg.broadcast_id_threshold:
             # fast path: broadcast the id map ONTO the scan (map-side
             # join — content stays put, no Exchange), then tokenize keyed
@@ -165,29 +160,39 @@ def build_segment(
             # 8-byte key instead of a repeated doc_key string — measured
             # ~3x faster at 100k docs / 32 threads.
             with_ids = df.join(F.broadcast(ids), "doc_key")
-            rows = tokenize_to_tf_sha(
+            rows_src = tokenize_to_tf_sha(
                 with_ids, key_col="doc_id", key_type="long"
-            ).persist(StorageLevel.DISK_ONLY)
+            )
             store_src = with_ids.drop("content")
             meta_key = "doc_id"
         else:
             # mega-build path (id map too big to broadcast): tokenize
             # keyed by doc_key; the compact tf rows — never content —
             # hash-shuffle into the id join
-            rows = (
+            rows_src = (
                 tokenize_to_tf_sha(df)
                 .join(ids, "doc_key")  # inner: key_filter losers drop here
                 .withColumn(
                     "doc_key",
                     F.when(F.col("term").isNull(), F.col("doc_key")),
                 )
-                .persist(StorageLevel.DISK_ONLY)
             )
             store_src = df.drop("content")
             meta_key = "doc_key"
         t0 = time.time()
-        # one job materializes the disk cache AND yields sum(dl) from the
-        # per-doc marker rows (term NULL)
+        # materialize the tokenize output ONCE as a parquet spill (read
+        # back by the docstore + postings consumers, removed afterwards).
+        # A/B'd against .persist(DISK_ONLY): the RDD disk cache
+        # anti-scaled at 32 threads (BlockManager contention — 81 s vs
+        # 16-18 s for the same rows as a parquet write at 400k docs),
+        # while the columnar spill write scales with cores and the
+        # re-reads are column-pruned.  Snappy: cheapest encode for
+        # write-once-read-twice data.
+        spill = os.path.join(seg_dir, "_tfspill")
+        rows_src.write.mode("overwrite").option(
+            "compression", "snappy"
+        ).parquet(spill)
+        rows = spark.read.parquet(spill)
         agg = rows.filter(F.col("term").isNull()).agg(
             F.sum("dl").alias("sdl")
         ).collect()[0]
@@ -217,7 +222,9 @@ def build_segment(
         if not stage_done(dict_path):
             write_dictionary(spark, post_path, dict_path)
         wall_ms = int((time.time() - t0) * 1000)
-        rows.unpersist()
+        import shutil
+
+        shutil.rmtree(spill, ignore_errors=True)
         # doc ids are dense by construction: [base, base + n_docs)
         meta = SegmentMeta(
             name=seg_name,
