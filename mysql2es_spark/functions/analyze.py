@@ -98,7 +98,8 @@ def tokenize_to_tf(df, content_col: str = "content", id_col: str = "doc_id"):
 
 
 def tokenize_to_tf_sha(df, content_col: str = "content",
-                       key_col: str = "doc_key", key_type: str = "string"):
+                       key_col: str = "doc_key", key_type: str = "string",
+                       extra_cols: tuple[str, ...] = ()):
     """Fused tokenize + per-doc term count + content sha256, ONE Arrow pass.
 
     This is the only stage of the index build that ever touches
@@ -119,23 +120,32 @@ def tokenize_to_tf_sha(df, content_col: str = "content",
     ~50-byte doc_key string per (doc, term) row — measured ~3x faster
     end-to-end at 100k docs / 32 threads.  ``key_type='string'`` keys by
     doc_key for the too-big-to-broadcast id maps of initial mega-builds.
+
+    ``extra_cols`` are long-typed columns replicated onto every output
+    row — the mega-build path carries ``version`` through so the id join
+    can qualify on (doc_key, version) and drop superseded replays.
     """
     import collections
     import hashlib
 
     assert key_type in ("string", "long")
+    extra_schema = "".join(f", {c} long" for c in extra_cols)
     schema = (
-        f"{key_col} {key_type}, dl long, term string, tf long, "
-        "content_sha string"
+        f"{key_col} {key_type}{extra_schema}, dl long, term string, "
+        "tf long, content_sha string"
     )
     key_dtype = "object" if key_type == "string" else "int64"
 
     def run(batches):
         for pdf in batches:
             keys, dls, terms, tfs, shas = [], [], [], [], []
+            extras: dict[str, list] = {c: [] for c in extra_cols}
             contents = pdf[content_col].fillna("")
             toks_series = contents.str.findall(_CODE_TOKEN_RE)
-            for key, toks, content in zip(pdf[key_col], toks_series, contents):
+            extra_iters = [pdf[c] for c in extra_cols]
+            for key, toks, content, *evals in zip(
+                pdf[key_col], toks_series, contents, *extra_iters
+            ):
                 counts = collections.Counter(t.lower() for t in toks)
                 n = len(counts)
                 keys.extend([key] * (n + 1))
@@ -146,15 +156,20 @@ def tokenize_to_tf_sha(df, content_col: str = "content",
                 tfs.append(0)
                 shas.extend([None] * n)
                 shas.append(hashlib.sha256(content.encode("utf-8")).hexdigest())
-            yield pd.DataFrame(
-                {key_col: pd.Series(keys, dtype=key_dtype),
-                 "dl": pd.Series(dls, dtype="int64"),
+                for c, v in zip(extra_cols, evals):
+                    extras[c].extend([v] * (n + 1))
+            out = {key_col: pd.Series(keys, dtype=key_dtype)}
+            for c in extra_cols:
+                out[c] = pd.Series(extras[c], dtype="int64")
+            out.update(
+                {"dl": pd.Series(dls, dtype="int64"),
                  "term": pd.Series(terms, dtype="object"),
                  "tf": pd.Series(tfs, dtype="int64"),
                  "content_sha": pd.Series(shas, dtype="object")}
             )
+            yield pd.DataFrame(out)
 
-    return df.select(key_col, content_col).mapInPandas(run, schema)
+    return df.select(key_col, *extra_cols, content_col).mapInPandas(run, schema)
 
 
 def tokenize_simple(col: Column | str) -> Column:

@@ -148,14 +148,20 @@ def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3,
     threshold: float = 0.0, max_shingle_df: int | None = 1000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for all pairs sharing >= 1 shingle, via an
+    """N-gram Jaccard for all pairs sharing >= 1 shingle, via an
     inverted shingle join: |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|.
 
-    ``max_shingle_df`` drops boilerplate shingles shared by more than N
-    docs before the self-join — the scale lever that keeps the join from
-    exploding on common n-grams (a shingle with df=d contributes d^2/2
-    join rows; license headers make this quadratic without the cut).
-    ON by default (1000); pass None to disable.  The dropped hot set is
+    EXACT only when every shingle's df is <= ``max_shingle_df`` (or the
+    cut is disabled): ``max_shingle_df`` drops boilerplate shingles
+    shared by more than N docs before the self-join — the scale lever
+    that keeps the join from exploding on common n-grams (a shingle with
+    df=d contributes d^2/2 join rows; license headers make this
+    quadratic without the cut) — so under boilerplate-heavy corpora the
+    default computes Jaccard over the *non-boilerplate* shingle space
+    (values and pair sets can differ from the uncut exact answer; the
+    cut is logged whenever it actually drops anything).
+    ON by default (1000); pass None for the exact, unsafe-at-scale
+    behavior.  The dropped hot set is
     small by definition, so the cut is a *broadcast anti-join* (the big
     shingle table never shuffles for it), and what was dropped is logged.
     Per-doc sizes are recomputed AFTER the cut so the Jaccard numerator

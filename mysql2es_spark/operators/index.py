@@ -64,12 +64,26 @@ class IndexConfig:
 _MID_MASK = (1 << 33) - 1
 
 
-def build_doc_id_map(df: DataFrame, base: int, cfg: IndexConfig) -> tuple[DataFrame, int]:
+def build_doc_id_map(
+    df: DataFrame, base: int, cfg: IndexConfig,
+    carry: tuple[str, ...] = (),
+    latest_by: str | None = None,
+) -> tuple[DataFrame, int]:
     """(doc_key, doc_id) map with dense deterministic ids.
 
-    Only ``doc_key`` flows through the shuffle+sort (column pruning keeps
-    content out of it entirely).  Hash-repartition into a *fixed* number
-    of partitions (independent of cluster size), sort within each
+    ``df`` must be DISTINCT on doc_key — one id is minted per row, so a
+    duplicate key here would mint two ids for one document — UNLESS
+    ``latest_by`` names a column: then duplicate keys are collapsed to
+    the row with the max ``latest_by`` value (winner-per-key upsert
+    dedupe, README-EN.org:78-79) *inside the same shuffle* that orders
+    ids — the window's required distribution/sort matches the
+    repartition+sort already here, so dedupe costs no extra Exchange.
+    ``carry`` names narrow extra columns (e.g. the winning ``version``)
+    to ride along through the shuffle+sort into the output map.
+
+    Only narrow key columns flow through the shuffle+sort (column pruning
+    keeps content out of it entirely).  Hash-repartition into a *fixed*
+    number of partitions (independent of cluster size), sort within each
     partition, tag rows with ``monotonically_increasing_id`` — Spark
     documents its layout as (partition id << 33) | in-partition ordinal,
     and the ordinal follows the post-sort iteration order (the expression
@@ -78,12 +92,23 @@ def build_doc_id_map(df: DataFrame, base: int, cfg: IndexConfig) -> tuple[DataFr
     offset map rebases ordinals to dense global ids.  Deterministic
     across parallelism levels (fixed partition count + per-partition
     sort, SURVEY.md §7 hard part 3)."""
-    parted = (
-        df.select("doc_key")
-        .repartition(cfg.id_partitions, "doc_key")
-        .sortWithinPartitions("doc_key")
-        .withColumn("_mid", F.monotonically_increasing_id())
+    sel = df.select("doc_key", *carry).repartition(
+        cfg.id_partitions, "doc_key"
     )
+    if latest_by is not None:
+        # same-key rows are co-partitioned by the repartition above, so
+        # the window needs no new Exchange; its sort (doc_key, latest_by
+        # desc) leaves survivors ordered by doc_key — exactly the order
+        # the id assignment wants
+        w = Window.partitionBy("doc_key").orderBy(F.desc(latest_by))
+        sel = (
+            sel.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        sel = sel.sortWithinPartitions("doc_key")
+    parted = sel.withColumn("_mid", F.monotonically_increasing_id())
     counts = {
         int(r["_pid"]): int(r["cnt"])
         for r in parted.groupBy(
@@ -107,7 +132,7 @@ def build_doc_id_map(df: DataFrame, base: int, cfg: IndexConfig) -> tuple[DataFr
             + F.col("_off")
             + F.col("_mid").bitwiseAND(F.lit(_MID_MASK)),
         )
-        .select("doc_key", "doc_id")
+        .select("doc_key", *carry, "doc_id")
     )
     return ids, acc
 

@@ -124,9 +124,15 @@ def build_segment(
     ``key_filter`` (a doc_key DataFrame) restricts indexing to those keys
     — the caller's dedupe/anti-join runs in key space and losers are
     dropped by the inner id join, so the content-bearing rows themselves
-    are never filtered (and therefore never shuffled).  Precondition:
-    the keys to index are distinct (apply_delta's key-level dedupe
-    guarantees it; the posting encoder also guards against replays).
+    are never filtered (and therefore never shuffled).
+
+    Duplicate input rows are handled HERE, not by a precondition
+    (ADVICE r2): the id map collapses replayed doc_keys to the max
+    version inside its own shuffle, both id joins qualify on
+    (doc_key, version) so superseded replays drop at the join, and the
+    docstore/sum_dl stage dedupes by doc_id as defense-in-depth against
+    byte-identical replays (same key AND version twice) — mirroring the
+    posting encoder's own replay guard.
     """
     seg_dir = os.path.join(root, "segments", seg_name)
     doc_path = os.path.join(seg_dir, "docstore")
@@ -151,27 +157,42 @@ def build_segment(
         # appears in exactly one plan: the pruned (doc_key, content) scan
         # feeding mapInPandas — it never enters an Exchange (pinned by
         # test_no_content_exchange).
-        keys = key_filter if key_filter is not None else df.select("doc_key")
-        ids, n_docs = build_doc_id_map(keys, base, cfg)
+        # winner-per-key resolution (ADVICE r2 high): a delta (or a
+        # bootstrap corpus) can carry the same doc_key twice — e.g. a
+        # compensation replay under two snapshot_ids.  The id map mints
+        # ONE id per key (max version wins, collapsed inside the id
+        # shuffle itself) and carries the winning version out, so the
+        # (doc_key, version)-qualified joins below drop superseded rows
+        # before tokenize output is consumed.
+        keys_src = df.select("doc_key", "version")
+        if key_filter is not None:
+            keys_src = keys_src.join(
+                key_filter.select("doc_key"), "doc_key", "left_semi"
+            )
+        ids, n_docs = build_doc_id_map(
+            keys_src, base, cfg, carry=("version",), latest_by="version"
+        )
         if n_docs <= cfg.broadcast_id_threshold:
             # fast path: broadcast the id map ONTO the scan (map-side
             # join — content stays put, no Exchange), then tokenize keyed
             # by the dense int64 doc_id.  Every downstream row carries an
             # 8-byte key instead of a repeated doc_key string — measured
             # ~3x faster at 100k docs / 32 threads.
-            with_ids = df.join(F.broadcast(ids), "doc_key")
+            with_ids = df.join(F.broadcast(ids), ["doc_key", "version"])
             rows_src = tokenize_to_tf_sha(
                 with_ids, key_col="doc_id", key_type="long"
             )
             store_src = with_ids.drop("content")
             meta_key = "doc_id"
+            meta_join = ["doc_id"]
         else:
             # mega-build path (id map too big to broadcast): tokenize
-            # keyed by doc_key; the compact tf rows — never content —
-            # hash-shuffle into the id join
+            # keyed by doc_key (version rides along); the compact tf rows
+            # — never content — hash-shuffle into the id join
             rows_src = (
-                tokenize_to_tf_sha(df)
-                .join(ids, "doc_key")  # inner: key_filter losers drop here
+                tokenize_to_tf_sha(df, extra_cols=("version",))
+                .join(ids, ["doc_key", "version"])  # inner: key_filter
+                # losers AND superseded replays drop here
                 .withColumn(
                     "doc_key",
                     F.when(F.col("term").isNull(), F.col("doc_key")),
@@ -179,6 +200,7 @@ def build_segment(
             )
             store_src = df.drop("content")
             meta_key = "doc_key"
+            meta_join = ["doc_key", "version"]
         t0 = time.time()
         # materialize the tokenize output ONCE as a parquet spill (read
         # back by the docstore + postings consumers, removed afterwards).
@@ -193,22 +215,32 @@ def build_segment(
             "compression", "snappy"
         ).parquet(spill)
         rows = spark.read.parquet(spill)
-        agg = rows.filter(F.col("term").isNull()).agg(
-            F.sum("dl").alias("sdl")
-        ).collect()[0]
+        # dedupe by doc identity before aggregating: a byte-identical
+        # replay (same doc_key AND version twice in one batch) yields two
+        # meta rows per doc; without this sum_dl doubles and avgdl/BM25
+        # skew (ADVICE r2 high).  Meta rows are one-per-doc (narrow), so
+        # the dedupe shuffle is the smallest of the build.
+        agg = (
+            rows.filter(F.col("term").isNull())
+            .dropDuplicates([meta_key])
+            .agg(F.sum("dl").alias("sdl"))
+            .collect()[0]
+        )
         sum_dl = int(agg["sdl"] or 0)
         # consumers run sequentially: measured — concurrent driver-thread
         # jobs thrash python workers/memory at high core counts (52s vs
         # 14s for the same three jobs at 32 threads)
         if not stage_done(doc_path):
             docmeta = rows.filter(F.col("term").isNull()).select(
-                meta_key, "dl", "content_sha",
+                *meta_join, "dl", "content_sha",
                 *(["doc_id"] if meta_key == "doc_key" else []),
-            )
+            ).dropDuplicates([meta_key])
             (
                 store_src
-                .join(docmeta, meta_key)  # metadata-only join
+                .join(docmeta, meta_join)  # metadata-only join
                 .select(*DOCSTORE_COLS, *(extra_doc_cols or []))
+                .dropDuplicates(["doc_id"])  # replay guard: one store
+                # row per doc even if the batch carried identical rows
                 .write.mode("overwrite").parquet(doc_path)
             )
         if not stage_done(post_path):
@@ -590,13 +622,24 @@ def apply_delta(
     new_dead = dead_old.unionByName(stale_new).distinct()
 
     tomb_name = m.tombstones
-    if not new_dead.isEmpty():
+    # legacy layout (pre-root-level): per-segment tombstones-N dirs with
+    # manifest.tombstones=None — migrate them into the root-level set on
+    # this publish even if the delta itself tombstoned nothing
+    legacy = m.tombstones is None and any(
+        s.n_tombstones > 0 for s in m.segments
+    )
+    if legacy or not new_dead.isEmpty():
         merged = new_dead
         prev = _load_tombstones(spark, root, m)
         if prev is not None:
             merged = merged.unionByName(
                 prev.select("segment", "doc_id")
             ).distinct()
+        if merged.isEmpty():  # legacy flagged but no dirs found: keep as-is
+            merged = None
+    else:
+        merged = None
+    if merged is not None:
         tomb_name = f"tombstones-{m.version + 1:06d}"
         (
             merged.repartition("segment")
@@ -689,10 +732,52 @@ def _load_tombstones(
     spark: SparkSession, root: str, m: Manifest
 ) -> DataFrame | None:
     """Current (segment, doc_id) tombstone set from the manifest's
-    root-level partitioned dir — one read for all segments."""
-    if m.tombstones is None:
+    root-level partitioned dir — one read for all segments.
+
+    Legacy fallback (ADVICE r2): indexes written before the root-level
+    layout keep tombstones per segment (``segments/<name>/tombstones-N``,
+    newest dir per segment current) with ``n_tombstones > 0`` in the
+    manifest but ``tombstones=None``.  Ignoring them would resurface
+    deleted/superseded docs in search and let compact keep them — so
+    read the latest legacy dir of every tombstoned segment (one
+    multi-path read, segment recovered from the file path) and serve the
+    union; the next ``apply_delta`` then merges this set into a new
+    root-level write, migrating the index forward."""
+    if m.tombstones is not None:
+        return spark.read.parquet(os.path.join(root, m.tombstones))
+    legacy_paths = _tombstone_paths(root, m)
+    if not legacy_paths:
         return None
-    return spark.read.parquet(os.path.join(root, m.tombstones))
+    return (
+        spark.read.parquet(*legacy_paths)
+        .withColumn(
+            "segment",
+            F.regexp_extract(
+                F.input_file_name(), r"segments/([^/]+)/tombstones-", 1
+            ),
+        )
+        .select("segment", "doc_id")
+    )
+
+
+def _tombstone_paths(root: str, m: Manifest) -> list[str]:
+    """Parquet dirs holding the current tombstone set: the manifest's
+    root-level dir, else the newest legacy per-segment dirs."""
+    if m.tombstones is not None:
+        return [os.path.join(root, m.tombstones)]
+    if not any(s.n_tombstones > 0 for s in m.segments):
+        return []
+    paths = []
+    for s in m.segments:
+        if s.n_tombstones <= 0:
+            continue
+        seg_dir = os.path.join(root, "segments", s.name)
+        vers = sorted(
+            d for d in os.listdir(seg_dir) if d.startswith("tombstones-")
+        )
+        if vers:
+            paths.append(os.path.join(seg_dir, vers[-1]))
+    return paths
 
 
 def _tombstone_counts(
@@ -985,22 +1070,22 @@ def compact(
     m = load_current(root)
     assert m is not None
     idx = SearchIndex(spark, root)
-    tomb_path = (
-        os.path.join(root, m.tombstones) if m.tombstones is not None else None
-    )
+    tomb_paths = _tombstone_paths(root, m)
 
     def rewrite(batches):
         dead = None
         for pdf in batches:
             if dead is None:
-                if tomb_path is None:
+                if not tomb_paths:
                     dead = np.empty(0, dtype=np.uint64)
                 else:
                     import pyarrow.dataset as pds
 
-                    tbl = pds.dataset(tomb_path, format="parquet").to_table(
-                        columns=["doc_id"]
-                    )
+                    parts = [
+                        pds.dataset(p, format="parquet") for p in tomb_paths
+                    ]
+                    d = parts[0] if len(parts) == 1 else pds.dataset(parts)
+                    tbl = d.to_table(columns=["doc_id"])
                     dead = np.sort(
                         tbl.column("doc_id").to_numpy().astype(np.uint64)
                     )

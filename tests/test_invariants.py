@@ -111,30 +111,36 @@ def test_no_content_exchange(spark, path):
         .withColumn("snapshot_id", F.lit(1).cast("long"))
         .withColumn("version", F.col("snapshot_id"))
     )
-    ids, n_docs = build_doc_id_map(df.select("doc_key"), 0, TEST_CFG)
+    ids, n_docs = build_doc_id_map(
+        df.select("doc_key", "version"), 0, TEST_CFG,
+        carry=("version",), latest_by="version",
+    )
     if path == "broadcast":
-        with_ids = df.join(F.broadcast(ids), "doc_key")
+        with_ids = df.join(F.broadcast(ids), ["doc_key", "version"])
         rows = tokenize_to_tf_sha(with_ids, key_col="doc_id", key_type="long")
         docmeta = rows.filter(F.col("term").isNull()).select(
             "doc_id", "dl", "content_sha"
-        )
+        ).dropDuplicates(["doc_id"])
         docstore = (
-            with_ids.drop("content").join(docmeta, "doc_id")
+            with_ids.drop("content").join(docmeta, ["doc_id"])
             .select(*DOCSTORE_COLS)
+            .dropDuplicates(["doc_id"])
         )
     else:
         rows = (
-            tokenize_to_tf_sha(df)
-            .join(ids, "doc_key")
+            tokenize_to_tf_sha(df, extra_cols=("version",))
+            .join(ids, ["doc_key", "version"])
             .withColumn(
                 "doc_key", F.when(F.col("term").isNull(), F.col("doc_key"))
             )
         )
         docmeta = rows.filter(F.col("term").isNull()).select(
-            "doc_key", "doc_id", "dl", "content_sha"
-        )
+            "doc_key", "version", "doc_id", "dl", "content_sha"
+        ).dropDuplicates(["doc_key"])
         docstore = (
-            df.drop("content").join(docmeta, "doc_key").select(*DOCSTORE_COLS)
+            df.drop("content").join(docmeta, ["doc_key", "version"])
+            .select(*DOCSTORE_COLS)
+            .dropDuplicates(["doc_id"])
         )
     tf = rows.filter(F.col("term").isNotNull()).select("doc_id", "dl", "term", "tf")
     blocks = encode_postings(tf, TEST_CFG, max_doc_id=n_docs - 1)
