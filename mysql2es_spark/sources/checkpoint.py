@@ -64,5 +64,9 @@ def new_build_id() -> str:
 
 
 def stage_done(path: str) -> bool:
-    """A parquet stage is complete iff its dir has Spark's _SUCCESS marker."""
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+    """A parquet stage is complete iff its dir has Spark's _SUCCESS marker.
+    Location-transparent: resume detection works on object-store roots
+    through the same FS interface the manifest uses."""
+    from .fs import get_fs
+
+    return get_fs(path).exists(os.path.join(path, "_SUCCESS"))

@@ -156,18 +156,22 @@ class SnapshotLog:
     """
 
     def __init__(self, root: str):
+        from .fs import get_fs
+
         self.root = root
-        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        self._fs = get_fs(root)
+        self._fs.makedirs(os.path.join(root, "data"))
 
     @property
     def _log_path(self) -> str:
         return os.path.join(self.root, "snapshots.json")
 
     def snapshots(self) -> list[Snapshot]:
-        if not os.path.exists(self._log_path):
+        if not self._fs.exists(self._log_path):
             return []
-        with open(self._log_path) as f:
-            return [Snapshot(**s) for s in json.load(f)]
+        return [
+            Snapshot(**s) for s in json.loads(self._fs.read_text(self._log_path))
+        ]
 
     def current_snapshot_id(self) -> int | None:
         snaps = self.snapshots()
@@ -187,10 +191,9 @@ class SnapshotLog:
         snap = Snapshot(id=sid, ordinal=ordinal, commit_ts=commit_ts, rows=rows)
         # atomic-ish publish: write sidecar then rename (alias-swap analogue,
         # README-EN.org:252-258)
-        tmp = self._log_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump([s.__dict__ for s in snaps + [snap]], f)
-        os.replace(tmp, self._log_path)
+        self._fs.write_text_atomic(
+            self._log_path, json.dumps([s.__dict__ for s in snaps + [snap]])
+        )
         return snap
 
     def _read(self, spark: SparkSession, snaps: list[Snapshot]) -> DataFrame:

@@ -10,10 +10,9 @@ Cluster usage (the north_rule ship-shape):
         --index-root /mnt/shared/index \\
         --buckets 4096 --id-partitions 4096
 
-Index/log roots must be LOCAL or shared-POSIX paths (NFS/FUSE mounts):
-manifest/marker/tombstone bookkeeping is os.path-based and fails loudly
-on object-store URIs (``assert_local_root``) — route those ops through
-the Hadoop FileSystem API before pointing at s3://.
+Index/log roots are location-transparent: plain paths and file:// use
+os-backed IO; hdfs:// / s3a:// roots route manifest/marker/tombstone
+bookkeeping through the Hadoop FileSystem API (``mysql2es_spark.sources.fs``).
 
 Subcommands mirror the reference daemon's modes (README-EN.org:46-49,
 71-77): ``full`` (bootstrap), ``sync`` (incremental), ``compensate``

