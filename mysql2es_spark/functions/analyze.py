@@ -34,6 +34,22 @@ from pyspark.sql import types as T
 # matched, so they act as separators.
 _CODE_TOKEN_RE = re.compile(r"[A-Z]+(?![a-z])|[A-Z][a-z]*|[a-z]+|[0-9]+")
 
+# "simple" analyzer: lowercase, runs of [a-z0-9] — equivalent to
+# splitting on non-alphanumerics (tokenize_simple's SQL-expressible
+# semantics) but runnable in the same pandas str.findall C loop.
+_SIMPLE_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def analyzer_py(name: str):
+    """Driver-side tokenizer for a named analyzer — query analysis must
+    stay in lock-step with the index-side Arrow stage per field
+    (README-EN.org:188-241 per-field analyzers)."""
+    if name == "code":
+        return tokenize_code_py
+    if name == "simple":
+        return tokenize_simple_py
+    raise ValueError(f"unknown analyzer {name!r}")
+
 
 def tokenize_code_py(text: str) -> list[str]:
     """Driver-side single-string tokenizer (query analysis + goldens).
@@ -99,7 +115,8 @@ def tokenize_to_tf(df, content_col: str = "content", id_col: str = "doc_id"):
 
 def tokenize_to_tf_sha(df, content_col: str = "content",
                        key_col: str = "doc_key", key_type: str = "string",
-                       extra_cols: tuple[str, ...] = ()):
+                       extra_cols: tuple[str, ...] = (),
+                       analyzer: str = "code"):
     """Fused tokenize + per-doc term count + content sha256, ONE Arrow pass.
 
     This is the only stage of the index build that ever touches
@@ -124,11 +141,17 @@ def tokenize_to_tf_sha(df, content_col: str = "content",
     ``extra_cols`` are long-typed columns replicated onto every output
     row — the mega-build path carries ``version`` through so the id join
     can qualify on (doc_key, version) and drop superseded replays.
+
+    ``analyzer`` selects the per-field analysis chain (README-EN.org:
+    188-241): ``"code"`` (identifier-splitting, the default) or
+    ``"simple"`` (lowercase + split on non-alphanumerics) — both run in
+    the same pandas ``str.findall`` C loop.
     """
     import collections
     import hashlib
 
     assert key_type in ("string", "long")
+    assert analyzer in ("code", "simple")
     extra_schema = "".join(f", {c} long" for c in extra_cols)
     schema = (
         f"{key_col} {key_type}{extra_schema}, dl long, term string, "
@@ -136,17 +159,28 @@ def tokenize_to_tf_sha(df, content_col: str = "content",
     )
     key_dtype = "object" if key_type == "string" else "int64"
 
+    code = analyzer == "code"
+
     def run(batches):
         for pdf in batches:
             keys, dls, terms, tfs, shas = [], [], [], [], []
             extras: dict[str, list] = {c: [] for c in extra_cols}
             contents = pdf[content_col].fillna("")
-            toks_series = contents.str.findall(_CODE_TOKEN_RE)
+            if code:
+                toks_series = contents.str.findall(_CODE_TOKEN_RE)
+            else:  # simple: tokens come out already lowercased
+                toks_series = contents.str.lower().str.findall(
+                    _SIMPLE_TOKEN_RE
+                )
             extra_iters = [pdf[c] for c in extra_cols]
             for key, toks, content, *evals in zip(
                 pdf[key_col], toks_series, contents, *extra_iters
             ):
-                counts = collections.Counter(t.lower() for t in toks)
+                counts = (
+                    collections.Counter(t.lower() for t in toks)
+                    if code
+                    else collections.Counter(toks)
+                )
                 n = len(counts)
                 keys.extend([key] * (n + 1))
                 dls.extend([len(toks)] * (n + 1))

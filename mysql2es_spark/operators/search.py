@@ -40,11 +40,14 @@ from ..functions.bm25 import CorpusStats
 from ..functions.codec import decode_varints
 
 
-def analyze_query(text: str) -> list[tuple[str, int]]:
-    """Query analysis with the same analyzer as the index (lock-step with
-    ``tokenize_code``); repeated terms become query-term weights (qtf).
-    Returns [(term, qtf)] sorted ascending by term."""
-    counts = collections.Counter(tokenize_code_py(text))
+def analyze_query(text: str, analyzer: str = "code") -> list[tuple[str, int]]:
+    """Query analysis with the same analyzer as the indexed field
+    (lock-step with the index-side Arrow stage; per-field analyzers per
+    README-EN.org:188-241); repeated terms become query-term weights
+    (qtf).  Returns [(term, qtf)] sorted ascending by term."""
+    from ..functions.analyze import analyzer_py
+
+    counts = collections.Counter(analyzer_py(analyzer)(text))
     return sorted(counts.items())
 
 

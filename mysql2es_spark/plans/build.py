@@ -116,6 +116,7 @@ def build_segment(
     key_filter: DataFrame | None = None,
     extra_doc_cols: list[str] | None = None,
     template_bucket: str | None = None,
+    text_fields: dict[str, str] | None = None,
 ) -> SegmentMeta:
     """Tokenize + index one batch of corpus rows into a new segment.
 
@@ -133,6 +134,15 @@ def build_segment(
     docstore/sum_dl stage dedupes by doc_id as defense-in-depth against
     byte-identical replays (same key AND version twice) — mirroring the
     posting encoder's own replay guard.
+
+    ``text_fields`` maps analyzed text columns to analyzer names
+    (README-EN.org:188-241, the reference's per-field ``analyzer`` /
+    mapping surface); default ``{"content": "code"}``.  With more than
+    one field, terms are namespaced ``"field:term"`` (Lucene's per-field
+    term dictionary), each field's postings carry that field's document
+    lengths, and per-field sum_dl lands in ``SegmentMeta.field_stats``
+    so BM25 normalizes per field.  The first entry is the PRIMARY field:
+    it provides the docstore ``dl``/``content_sha`` invariant columns.
     """
     seg_dir = os.path.join(root, "segments", seg_name)
     doc_path = os.path.join(seg_dir, "docstore")
@@ -172,6 +182,33 @@ def build_segment(
         ids, n_docs = build_doc_id_map(
             keys_src, base, cfg, carry=("version",), latest_by="version"
         )
+        # per-field analysis (README-EN.org:188-241): one fused Arrow
+        # pass per text field over its pruned (key, field) scan, unioned
+        # with "field:"-namespaced terms when multi-field; `fidx` tags
+        # meta rows so per-field sum_dl is recoverable
+        fields = list((text_fields or {"content": "code"}).items())
+        multi = len(fields) > 1
+
+        def _tok(src, **kw):
+            parts = []
+            for i, (fcol, an) in enumerate(fields):
+                part = tokenize_to_tf_sha(
+                    src, content_col=fcol, analyzer=an, **kw
+                )
+                if multi:
+                    part = part.withColumn(
+                        "term",
+                        F.when(
+                            F.col("term").isNotNull(),
+                            F.concat(F.lit(fcol + ":"), F.col("term")),
+                        ),
+                    ).withColumn("fidx", F.lit(i).cast("int"))
+                parts.append(part)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
         if n_docs <= cfg.broadcast_id_threshold:
             # fast path: broadcast the id map ONTO the scan (map-side
             # join — content stays put, no Exchange), then tokenize keyed
@@ -179,10 +216,8 @@ def build_segment(
             # 8-byte key instead of a repeated doc_key string — measured
             # ~3x faster at 100k docs / 32 threads.
             with_ids = df.join(F.broadcast(ids), ["doc_key", "version"])
-            rows_src = tokenize_to_tf_sha(
-                with_ids, key_col="doc_id", key_type="long"
-            )
-            store_src = with_ids.drop("content")
+            rows_src = _tok(with_ids, key_col="doc_id", key_type="long")
+            store_src = with_ids.drop(*[f for f, _ in fields])
             meta_key = "doc_id"
             meta_join = ["doc_id"]
         else:
@@ -190,7 +225,7 @@ def build_segment(
             # keyed by doc_key (version rides along); the compact tf rows
             # — never content — hash-shuffle into the id join
             rows_src = (
-                tokenize_to_tf_sha(df, extra_cols=("version",))
+                _tok(df, extra_cols=("version",))
                 .join(ids, ["doc_key", "version"])  # inner: key_filter
                 # losers AND superseded replays drop here
                 .withColumn(
@@ -198,7 +233,7 @@ def build_segment(
                     F.when(F.col("term").isNull(), F.col("doc_key")),
                 )
             )
-            store_src = df.drop("content")
+            store_src = df.drop(*[f for f, _ in fields])
             meta_key = "doc_key"
             meta_join = ["doc_key", "version"]
         t0 = time.time()
@@ -215,30 +250,42 @@ def build_segment(
             "compression", "snappy"
         ).parquet(spill)
         rows = spark.read.parquet(spill)
-        # dedupe by doc identity before aggregating: a byte-identical
-        # replay (same doc_key AND version twice in one batch) yields two
-        # meta rows per doc; without this sum_dl doubles and avgdl/BM25
-        # skew (ADVICE r2 high).  Meta rows are one-per-doc (narrow), so
-        # the dedupe shuffle is the smallest of the build.
-        agg = (
-            rows.filter(F.col("term").isNull())
-            .dropDuplicates([meta_key])
-            .agg(F.sum("dl").alias("sdl"))
-            .collect()[0]
-        )
-        sum_dl = int(agg["sdl"] or 0)
+        meta_rows = rows.filter(F.col("term").isNull())
         # consumers run sequentially: measured — concurrent driver-thread
         # jobs thrash python workers/memory at high core counts (52s vs
         # 14s for the same three jobs at 32 threads)
         if not stage_done(doc_path):
-            docmeta = rows.filter(F.col("term").isNull()).select(
-                *meta_join, "dl", "content_sha",
-                *(["doc_id"] if meta_key == "doc_key" else []),
-            ).dropDuplicates([meta_key])
+            if multi:
+                # fold the per-field meta rows into one wide row per doc:
+                # primary field provides the invariant dl/content_sha,
+                # secondary fields land as dl_<field> columns so compact
+                # can recompute per-field stats over live docs later
+                aggs = [
+                    F.max(F.when(F.col("fidx") == 0, F.col("dl")))
+                    .alias("dl"),
+                    F.max(F.when(F.col("fidx") == 0, F.col("content_sha")))
+                    .alias("content_sha"),
+                ] + [
+                    F.max(F.when(F.col("fidx") == i, F.col("dl")))
+                    .alias(f"dl_{fcol}")
+                    for i, (fcol, _) in enumerate(fields)
+                    if i > 0
+                ]
+                if meta_key == "doc_key":
+                    aggs.append(F.max("doc_id").alias("doc_id"))
+                docmeta = meta_rows.groupBy(*meta_join).agg(*aggs)
+                store_cols = [f"dl_{fcol}" for fcol, _ in fields[1:]]
+            else:
+                docmeta = meta_rows.select(
+                    *meta_join, "dl", "content_sha",
+                    *(["doc_id"] if meta_key == "doc_key" else []),
+                ).dropDuplicates([meta_key])
+                store_cols = []
             (
                 store_src
                 .join(docmeta, meta_join)  # metadata-only join
-                .select(*DOCSTORE_COLS, *(extra_doc_cols or []))
+                .select(*DOCSTORE_COLS, *store_cols,
+                        *(extra_doc_cols or []))
                 .dropDuplicates(["doc_id"])  # replay guard: one store
                 # row per doc even if the batch carried identical rows
                 .write.mode("overwrite").parquet(doc_path)
@@ -253,10 +300,40 @@ def build_segment(
             write_postings(blocks, post_path)
         if not stage_done(dict_path):
             write_dictionary(spark, post_path, dict_path)
+        # corpus stats from the docstore parquet, which is already
+        # replay-deduped (ADVICE r2 high: a duplicated batch must not
+        # double sum_dl and skew avgdl/BM25) — one cheap column-pruned
+        # read instead of the extra dedupe shuffle + agg job this used
+        # to run over the spill's meta rows (small builds are
+        # job-barrier-bound on this box)
+        stat_aggs = [F.sum("dl").alias("sdl")] + [
+            F.sum(f"dl_{fcol}").alias(f"_s{i}")
+            for i, (fcol, _) in enumerate(fields)
+            if i > 0
+        ]
+        stat_row = spark.read.parquet(doc_path).agg(*stat_aggs).collect()[0]
+        sum_dl = int(stat_row["sdl"] or 0)
+        if multi:
+            field_stats = {fields[0][0]: sum_dl}
+            for i, (fcol, _) in enumerate(fields):
+                if i > 0:
+                    field_stats[fcol] = int(stat_row[f"_s{i}"] or 0)
+        else:
+            field_stats = None
         wall_ms = int((time.time() - t0) * 1000)
         from ..sources.fs import get_fs
 
-        get_fs(spill).delete(spill)
+        fs = get_fs(seg_dir)
+        fs.delete(spill)
+        if field_stats is not None:
+            # sidecar so a resumed/killed build can still recover
+            # per-field stats (the docstore only keeps the primary dl)
+            import json as _json
+
+            fs.write_text_atomic(
+                os.path.join(seg_dir, "fieldstats.json"),
+                _json.dumps(field_stats),
+            )
         # doc ids are dense by construction: [base, base + n_docs)
         meta = SegmentMeta(
             name=seg_name,
@@ -266,11 +343,14 @@ def build_segment(
             max_doc_id=base + max(n_docs, 1) - 1,
             snapshot_id=snapshot_id,
             template_bucket=template_bucket,
+            field_stats=field_stats,
         )
     else:
         wall_ms = 0
 
     if meta is None:  # resume path: recover stats from the docstore
+        from ..sources.fs import get_fs
+
         store = spark.read.parquet(doc_path)
         agg = store.agg(
             F.count("*").alias("n"),
@@ -278,6 +358,13 @@ def build_segment(
             F.min("doc_id").alias("lo"),
             F.max("doc_id").alias("hi"),
         ).collect()[0]
+        fs = get_fs(seg_dir)
+        fstats_path = os.path.join(seg_dir, "fieldstats.json")
+        resumed_field_stats = None
+        if fs.exists(fstats_path):
+            import json as _json
+
+            resumed_field_stats = _json.loads(fs.read_text(fstats_path))
         meta = SegmentMeta(
             name=seg_name,
             n_docs=int(agg["n"]),
@@ -286,6 +373,7 @@ def build_segment(
             max_doc_id=int(agg["hi"] if agg["hi"] is not None else base),
             snapshot_id=snapshot_id,
             template_bucket=template_bucket,
+            field_stats=resumed_field_stats,
         )
     if lineage is not None:
         # per-bucket rows from the (tiny) dictionary parquet; bytes from
@@ -331,12 +419,13 @@ def full_build(
     root: str,
     cfg: IndexConfig | None = None,
     snapshot_id: int | None = None,
+    text_fields: dict[str, str] | None = None,
 ) -> Manifest:
     cfg = cfg or IndexConfig()
     lineage = LineageStore(root)
     meta = build_segment(
         spark, corpus_df, root, "seg-000001", cfg, base=0,
-        snapshot_id=snapshot_id, lineage=lineage,
+        snapshot_id=snapshot_id, lineage=lineage, text_fields=text_fields,
     )
     m = Manifest(
         version=1,
@@ -347,7 +436,12 @@ def full_build(
         next_doc_id_base=_round_up(meta.max_doc_id + 1, cfg.chunk_span),
         last_snapshot_id=snapshot_id,
         last_handle_ts=int(time.time()),
-        schema=derive_index_schema(corpus_df.schema),
+        schema=derive_index_schema(
+            corpus_df.schema,
+            text_cols=tuple(text_fields) if text_fields else ("content",),
+            analyzers=text_fields,
+        ),
+        text_fields=text_fields,
     )
     publish(root, m)
     return m
@@ -586,6 +680,7 @@ def apply_delta(
                 ).select("doc_key"),
                 extra_doc_cols=["index_bucket"],
                 template_bucket=b,
+                text_fields=m.text_fields,
             )
             new_metas.append(meta)
             base = _round_up(meta.max_doc_id + 1, cfg.chunk_span)
@@ -593,6 +688,7 @@ def apply_delta(
         meta = build_segment(
             spark, new_df, root, f"seg-{m.version + 1:06d}", cfg, base=base,
             snapshot_id=target_snap, lineage=lineage, key_filter=keep,
+            text_fields=m.text_fields,
         )
         new_metas = [meta]
         base = _round_up(meta.max_doc_id + 1, cfg.chunk_span)
@@ -689,6 +785,7 @@ def apply_delta(
         tombstones=tomb_name,
         template=m.template,
         schema=m.schema,
+        text_fields=m.text_fields,
     )
     publish(root, m2)
     return m2
@@ -1070,28 +1167,46 @@ class SearchIndex:
         exact: bool = False,
         where=None,
         template_bucket: str | None = None,
+        field: str | None = None,
     ) -> DataFrame:
+        """Top-k BM25.  ``field`` picks the analyzed text field of a
+        multi-field index (README-EN.org:188-241): the query is analyzed
+        with THAT field's analyzer, terms resolve in its namespace, and
+        scores normalize by its own avgdl — ES per-field text search.
+        Default: the primary (first configured) field."""
         from ..operators.search import analyze_query
 
-        qterms = analyze_query(query_text)
+        tf_cfg = self.manifest.resolved_text_fields()
+        fld = field if field is not None else next(iter(tf_cfg))
+        if fld not in tf_cfg:
+            raise ValueError(
+                f"unknown text field {fld!r}; configured: {list(tf_cfg)}"
+            )
+        multi = len(tf_cfg) > 1
+        qterms = analyze_query(query_text, analyzer=tf_cfg[fld])
+        if multi:  # per-field term namespace
+            qterms = [(f"{fld}:{t}", c) for t, c in qterms]
         terms = [t for t, _ in qterms]
         if not terms:
             return self.spark.createDataFrame(
                 [], "doc_id long, score double, doc_key string, repo string, "
                     "path string, lang string"
             )
+        stats = CorpusStats(
+            self.manifest.n_docs_total, self.manifest.avgdl_for(fld)
+        )
         dfs = self.term_dfs(terms)
         allowed, denied = self._doc_filter(lang, repo, where=where)
         if exact:
             top = exact_topk(
                 self.spark, self.tf_table(terms, template_bucket),
-                self.stats(), dfs, qterms,
+                stats, dfs, qterms,
                 k, allowed=allowed, denied=denied,
             )
         else:
             top = blockmax_topk(
                 self.spark, self.postings(terms, template_bucket),
-                self.stats(), dfs, qterms,
+                stats, dfs, qterms,
                 k, self.manifest.chunk_span, allowed=allowed, denied=denied,
             )
         meta = self.docstore().select("doc_id", "doc_key", "repo", "path", "lang")
@@ -1292,10 +1407,21 @@ def compact(
             store = store.join(tomb_df, "doc_id", "left_anti")
         store.write.mode("overwrite").parquet(out_doc)
 
+        tfields = list((m.text_fields or {}).keys())
+        extra_aggs = [
+            F.sum(f"dl_{f}").alias(f"_s{i}")
+            for i, f in enumerate(tfields[1:], 1)
+        ]
         agg = spark.read.parquet(out_doc).agg(
             F.count("*").alias("n"), F.sum("dl").alias("sdl"),
             F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
+            *extra_aggs,
         ).collect()[0]
+        fstats = None
+        if len(tfields) > 1:  # recompute per-field sums over LIVE docs
+            fstats = {tfields[0]: int(agg["sdl"] or 0)}
+            for i, f in enumerate(tfields[1:], 1):
+                fstats[f] = int(agg[f"_s{i}"] or 0)
         new_metas.append(SegmentMeta(
             name=merged_name,
             n_docs=int(agg["n"]),
@@ -1304,6 +1430,7 @@ def compact(
             max_doc_id=int(agg["hi"] or 0),
             snapshot_id=m.last_snapshot_id,
             template_bucket=bucket,
+            field_stats=fstats,
         ))
 
     # ---- survivor tombstones --------------------------------------------
@@ -1337,6 +1464,7 @@ def compact(
         tombstones=tomb_name,
         template=m.template,
         schema=m.schema,
+        text_fields=m.text_fields,
     )
     publish(root, m2)
     return m2

@@ -30,6 +30,10 @@ class SegmentMeta:
     snapshot_id: int | None = None
     template_bucket: str | None = None  # physical time-routing bucket
                                         # (README-EN.org:124-127, 261-297)
+    field_stats: dict | None = None     # {text_field: sum_dl} for
+                                        # multi-text-field segments —
+                                        # per-field BM25 length norms
+                                        # (README-EN.org:188-241)
 
 
 @dataclass
@@ -56,6 +60,12 @@ class Manifest:
                                        # (derive_index_schema; `scheme:
                                        # true`, README-EN.org:96-97,
                                        # 181-250)
+    text_fields: dict | None = None    # {column: analyzer} of analyzed
+                                       # text fields; None == legacy
+                                       # single {"content": analyzer}.
+                                       # Multi-field indexes prefix
+                                       # terms "field:term" (Lucene's
+                                       # per-field term namespace)
 
     @property
     def n_docs_total(self) -> int:
@@ -65,6 +75,22 @@ class Manifest:
     def avgdl(self) -> float:
         n = self.n_docs_total
         return (sum(s.sum_dl for s in self.segments) / n) if n else 0.0
+
+    def resolved_text_fields(self) -> dict:
+        return self.text_fields or {"content": self.analyzer}
+
+    def avgdl_for(self, field: str) -> float:
+        """Per-field average document length (ES scores each text field
+        with its own length norm).  Falls back to the segment's primary
+        sum_dl where per-field stats are absent (legacy segments)."""
+        n = self.n_docs_total
+        if not n:
+            return 0.0
+        tot = 0
+        for s in self.segments:
+            fs = s.field_stats or {}
+            tot += fs.get(field, s.sum_dl)
+        return tot / n
 
     def segment_dir(self, root: str, name: str) -> str:
         return os.path.join(root, "segments", name)
@@ -81,6 +107,7 @@ def derive_index_schema(
     schema,
     text_cols: tuple[str, ...] = ("content",),
     analyzer: str = "code",
+    analyzers: dict | None = None,
 ) -> dict:
     """DDL-type -> index-type derivation (`scheme: true`,
     README-EN.org:96-97, 181-250): map each source column to the mapping
@@ -115,7 +142,10 @@ def derive_index_schema(
             return {"type": "binary"}
         if isinstance(dt, T.StringType):
             if name in text_cols:
-                return {"type": "text", "analyzer": analyzer}
+                return {
+                    "type": "text",
+                    "analyzer": (analyzers or {}).get(name, analyzer),
+                }
             return {
                 "type": "keyword",
                 "normalizer": {"filter": ["trim", "lowercase"]},
