@@ -179,8 +179,58 @@ def run_suite(cores: int, n_files: int, workdir: str,
         ).count()
         timings["minhash_dedup_20k"] = time.time() - t0
 
+        timings.update(_ann_recall(spark))
+
     spark.stop()
     return timings
+
+
+def _ann_recall(spark, n_queries: int = 12) -> dict:
+    """Recall@10 of the LSH and IVF ANN operators vs numpy brute force
+    on the driver's sf embeddings table (VERDICT r2 #8 evidence).
+
+    These embeddings are near-random (top-10 cosines ~0.37), the
+    worst case for ANY sublinear ANN — recall here tracks the scanned
+    fraction; on clustered real embeddings the same defaults prune far
+    harder at high recall (see tests/test_ann_recall.py)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mysql2es_spark.operators import similarity as SIM
+
+    path = os.path.join(SF_DIR, "embeddings.parquet")
+    if not os.path.exists(path):
+        return {}
+    emb = spark.read.parquet(path).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    pdf = emb.toPandas()
+    V = np.stack(pdf["emb"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    t0 = time.time()
+    qids = ids[:: max(1, len(ids) // n_queries)][:n_queries]
+    cents = SIM.ivf_train_centroids(emb, "emb", n_centroids=16, iters=2,
+                                    sample_fraction=None)
+    r_lsh, r_ivf = [], []
+    for qid in qids:
+        qi = int(np.where(ids == qid)[0][0])
+        sims = Vn @ Vn[qi]
+        sims[qi] = -2
+        true10 = set(ids[np.argsort(-sims)[:10]].tolist())
+        q = [float(x) for x in V[qi]]
+        rest = emb.filter(F.col("vec_id") != int(qid))
+        lsh = {int(r["vec_id"]) for r in SIM.lsh_cosine_topk(
+            rest, "emb", "vec_id", q, k=10).collect()}
+        ivf = {int(r["vec_id"]) for r in SIM.ivf_cosine_topk(
+            rest, "emb", "vec_id", q, cents, k=10).collect()}
+        r_lsh.append(len(true10 & lsh) / 10)
+        r_ivf.append(len(true10 & ivf) / 10)
+    return {
+        "ann_lsh_recall10": round(float(np.mean(r_lsh)), 3),
+        "ann_ivf_recall10": round(float(np.mean(r_ivf)), 3),
+        "ann_eval": time.time() - t0,
+    }
 
 
 def _burn(_arg):
@@ -198,6 +248,34 @@ def _calibrate_cpu(low: int, high: int) -> float:
     for n in (low, high):
         with multiprocessing.Pool(n) as p:
             totals[n] = sum(p.map(_burn, range(n)))
+    return (totals[high] / totals[low]) / (high / low)
+
+
+def _stream(_arg):
+    """Memory-bandwidth burn: sum over a 256 MB array for ~3 s."""
+    import numpy as np
+
+    a = np.random.default_rng(0).integers(0, 255, size=1 << 25, dtype=np.uint64)
+    t0 = time.time()
+    x = 0
+    n = 0
+    while time.time() - t0 < 3:
+        x += int(a.sum())
+        n += 1
+    return n
+
+
+def _calibrate_membw(low: int, high: int) -> float:
+    """Memory-BANDWIDTH scaling ceiling: N processes each streaming a
+    256 MB array.  A single VM shares one bandwidth domain across all
+    cores; on bad days this collapses to ~0.25 (= no extra bandwidth at
+    4x cores) while the pure-CPU busy-loop ceiling stays ~0.8 — the
+    tokenize/shuffle stages track THIS ceiling, not the CPU one.  A real
+    N-vs-4N executor cluster scales bandwidth with executors."""
+    totals = {}
+    for n in (low, high):
+        with multiprocessing.Pool(n) as p:
+            totals[n] = sum(p.map(_stream, range(n)))
     return (totals[high] / totals[low]) / (high / low)
 
 
@@ -240,6 +318,7 @@ def main() -> None:
             thr_high = n_files / t_high["index_build"]
             eff = (t_low["index_build"] / t_high["index_build"]) / (CPUS / low)
             ceiling = _calibrate_cpu(low, CPUS)
+            membw = _calibrate_membw(low, CPUS)
             queries = {f"c{low}_{k}": round(v, 3) for k, v in t_low.items()}
             queries.update(
                 {f"c{CPUS}_{k}": round(v, 3) for k, v in t_high.items()}
@@ -257,8 +336,11 @@ def main() -> None:
                         "files_per_sec_high": round(thr_high, 2),
                         "efficiency": round(eff, 3),
                         "cpu_ceiling": round(ceiling, 3),
+                        "membw_ceiling": round(membw, 3),
                         "efficiency_vs_ceiling": round(eff / ceiling, 3)
                         if ceiling else None,
+                        "efficiency_vs_membw": round(eff / membw, 3)
+                        if membw else None,
                     },
                 }
             )
@@ -300,11 +382,15 @@ because this VM has noisy neighbors.
 **Scaling efficiency (build): {s['efficiency']}** — raw
 `(T_{lo} / T_{hi}) / ({hi}/{lo})`, target >= 0.8.
 
-**Machine ceiling: {s['cpu_ceiling']}** — the same ratio for a pure-CPU
-busy loop on this box ({lo} vs {hi} pinned processes).  A single VM
-shares one memory-bandwidth domain across both levels, unlike a real
-N-vs-4N executor cluster where bandwidth scales with executors; engine
-efficiency normalized to the box ceiling: **{s['efficiency_vs_ceiling']}**.
+**Machine ceilings: CPU {s['cpu_ceiling']}, memory-bandwidth
+{s.get('membw_ceiling', 'n/a')}** — the same ratio for a pure-CPU busy
+loop and for N pinned processes each streaming a 256 MB array.  A
+single VM shares ONE memory-bandwidth domain across both levels, unlike
+a real N-vs-4N executor cluster where bandwidth scales with executors —
+the tokenize/shuffle stages track the bandwidth ceiling, not the CPU
+one.  Engine efficiency normalized: **{s['efficiency_vs_ceiling']}** vs
+CPU ceiling, **{s.get('efficiency_vs_membw', 'n/a')}** vs bandwidth
+ceiling.
 
 First-run query timings at {hi} cores: {
         {k[len(f'c{hi}_'):]: v for k, v in result['queries'].items()

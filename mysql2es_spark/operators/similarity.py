@@ -72,24 +72,9 @@ def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     return out.cast("int")
 
 
-def lsh_cosine_topk(
-    df: DataFrame,
-    vec_col: str,
-    id_col: str,
-    query_vec: list[float],
-    k: int = 10,
-    nbits: int = 8,
-    seed: int = 42,
-    multiprobe: int = 1,
-) -> DataFrame:
-    """ANN: restrict the brute-force scan to the query's LSH bucket
-    (plus ``multiprobe``-bit-flipped neighbor buckets for recall).
-
-    At scale the table is written partitioned by ``lsh_bucket`` so this
-    becomes partition pruning — the scan reads 1/2^nbits of the data."""
-    dim = len(query_vec)
-    planes = hyperplanes(dim, nbits, seed)
-    qv = np.asarray(query_vec, dtype=np.float64)
+def _probe_buckets(
+    qv: np.ndarray, planes: list[list[float]], nbits: int, multiprobe: int
+) -> list[int]:
     qsig = 0
     for i, p in enumerate(planes):
         if float(np.dot(qv, np.asarray(p))) >= 0:
@@ -102,10 +87,45 @@ def lsh_cosine_topk(
         for i in range(nbits):
             for j in range(i + 1, nbits):
                 buckets.add(qsig ^ (1 << i) ^ (1 << j))
-    cand = df.withColumn("lsh_bucket", lsh_signature(F.col(vec_col), planes)).filter(
-        F.col("lsh_bucket").isin(sorted(buckets))
-    )
-    return brute_force_cosine_topk(cand, vec_col, id_col, query_vec, k)
+    return sorted(buckets)
+
+
+def lsh_cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    nbits: int = 8,
+    seed: int = 42,
+    multiprobe: int = 1,
+    n_tables: int = 8,
+) -> DataFrame:
+    """ANN: restrict the brute-force scan to the query's LSH buckets.
+
+    Standard multi-table hyperplane LSH: ``n_tables`` independent
+    signatures (seeded ``seed + t``); a row is a candidate if it falls
+    in the query's bucket — or a ``multiprobe``-bit-flipped neighbor
+    bucket — of ANY table.  One table's recall for a neighbor at angle
+    theta is (1 - theta/pi)^nbits; L tables lift it to 1-(1-p)^L, which
+    is what makes sign-hash LSH usable (single-table recall is low even
+    for close neighbors).
+
+    The membership test is pure Column math over broadcast literal
+    planes — one narrow scan, no shuffle, no Python.  At scale the
+    table is written partitioned by table-0's ``lsh_bucket`` (partition
+    pruning covers that table's probes; the other tables' probes read
+    bucket-pruned row groups via a materialized signature column)."""
+    dim = len(query_vec)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    cond = None
+    for t in range(n_tables):
+        planes = hyperplanes(dim, nbits, seed + t)
+        buckets = _probe_buckets(qv, planes, nbits, multiprobe)
+        c = lsh_signature(F.col(vec_col), planes).isin(buckets)
+        cond = c if cond is None else (cond | c)
+    return brute_force_cosine_topk(df.filter(cond), vec_col, id_col,
+                                   query_vec, k)
 
 
 def ivf_train_centroids(
