@@ -603,6 +603,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["rolling_fingerprint"] = rolling_fp
 
+    def frame_sample(spark, sf):
+        # the multimodal frame-sampling plan (sequence+explode fan-out),
+        # oracle-checked: durations derived deterministically from the
+        # documents table so DuckDB can generate the same frame grid
+        d = _t(spark, sf, "documents")
+        vids = d.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 0).select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("video").alias("kind"),
+            (F.pmod(F.col("n_chars"), F.lit(5000)) + F.lit(1000))
+            .cast("int").alias("duration_ms"),
+        )
+        return MM.frame_sample_plan(vids, every_ms=500).select(
+            "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+        )
+    q["frame_sample"] = frame_sample
+
     return q
 
 
@@ -944,6 +960,16 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, round(cosine, 6) AS cosine
         FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+    sql["frame_sample"] = """
+        SELECT media_id,
+               unnest(generate_series(0, duration_ms, 500))::BIGINT
+                 AS frame_ts_ms
+        FROM (
+          SELECT doc_id AS media_id, (n_chars % 5000 + 1000) AS duration_ms
+          FROM documents WHERE doc_id % 7 = 0
+        )
     """
 
     return sql
