@@ -603,6 +603,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["rolling_fingerprint"] = rolling_fp
 
+    def multifield_search(spark, sf):
+        # REAL-ENGINE per-field search (README-EN.org:188-241), oracle-
+        # checked: a two-text-field index (content + derived summary,
+        # both "simple" so DuckDB tokenizes identically) is built by the
+        # actual engine, then searched on the summary field with the
+        # exact scorer; the oracle recomputes field-scoped BM25 from the
+        # same derived expression.  Output keys map the engine's doc
+        # store back to documents.doc_id via the synthesized path.
+        import tempfile
+
+        from mysql2es_spark.operators.index import IndexConfig
+        from mysql2es_spark.plans.build import SearchIndex, full_build
+
+        docs = _t(spark, sf, "documents")
+        corpus = docs.select(
+            F.concat(F.lit("src/"), F.col("source")).alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string"),
+                     F.lit(".txt")).alias("path"),
+            F.sha2(F.col("text"), 256).substr(1, 12).alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+            F.concat_ws(" ", F.col("source"), F.col("lang"),
+                        F.substring(F.col("text"), 1, 120)).alias("summary"),
+        )
+        root = tempfile.mkdtemp(prefix="m2es_mf_")
+        cfg = IndexConfig(n_buckets=16, block_size=128, salt_threshold=2000,
+                          n_salts=8, chunk_span=2048, id_partitions=16)
+        full_build(spark, corpus, root, cfg, snapshot_id=1,
+                   text_fields={"content": "simple", "summary": "simple"})
+        # engine ties break on internal doc_id; the oracle ties on
+        # documents.doc_id — take a margin, then re-rank on the shared
+        # (raw score, original doc_id) order before cutting to 20
+        hits = SearchIndex(spark, root).search(
+            " ".join(_QUERY_TERMS), k=40, field="summary", exact=True
+        )
+        return (
+            hits.select(
+                F.regexp_extract("path", r"doc/(\d+)\.txt", 1)
+                .cast("long").alias("doc_id"),
+                F.col("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(20)
+            .select("doc_id", F.round("score", 6).alias("score"))
+        )
+    q["multifield_search"] = multifield_search
+
     def frame_sample(spark, sf):
         # the multimodal frame-sampling plan (sequence+explode fan-out),
         # oracle-checked: durations derived deterministically from the
@@ -961,6 +1008,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, round(cosine, 6) AS cosine
         FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
     """
+
+    _mf_toks = (
+        "list_filter(string_split_regex(lower(concat_ws(' ', source, lang, "
+        "substring(text, 1, 120))), '[^a-z0-9]+'), t -> t <> '')"
+    )
+    _mf_tlist = ", ".join(f"'{t}'" for t in _QUERY_TERMS)
+    sql["multifield_search"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_mf_toks} AS ts FROM documents
+), dl AS (
+  SELECT doc_id, len(ts)::bigint AS dl FROM toks
+), stats AS (
+  SELECT count(*)::bigint AS n_docs, sum(dl)::double / count(*) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, t AS term, count(*)::bigint AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks)
+  WHERE t IN ({_mf_tlist})
+  GROUP BY doc_id, t
+), dfs AS (
+  SELECT term, count(*)::bigint AS df FROM tf GROUP BY term
+), partial AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+         (tf.tf * (1.2 + 1.0)) /
+         (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS p
+  FROM tf
+  JOIN dfs d USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+), scores AS (
+  SELECT doc_id, sum(p ORDER BY term) AS rs
+  FROM partial GROUP BY doc_id
+)
+SELECT doc_id, round(rs, 6) AS score
+FROM scores ORDER BY rs DESC, doc_id LIMIT 20
+"""
 
     sql["frame_sample"] = """
         SELECT media_id,
