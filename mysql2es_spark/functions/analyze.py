@@ -116,7 +116,8 @@ def tokenize_to_tf(df, content_col: str = "content", id_col: str = "doc_id"):
 def tokenize_to_tf_sha(df, content_col: str = "content",
                        key_col: str = "doc_key", key_type: str = "string",
                        extra_cols: tuple[str, ...] = (),
-                       analyzer: str = "code"):
+                       analyzer: str = "code",
+                       extra_types: dict[str, str] | None = None):
     """Fused tokenize + per-doc term count + content sha256, ONE Arrow pass.
 
     This is the only stage of the index build that ever touches
@@ -138,9 +139,12 @@ def tokenize_to_tf_sha(df, content_col: str = "content",
     end-to-end at 100k docs / 32 threads.  ``key_type='string'`` keys by
     doc_key for the too-big-to-broadcast id maps of initial mega-builds.
 
-    ``extra_cols`` are long-typed columns replicated onto every output
-    row — the mega-build path carries ``version`` through so the id join
-    can qualify on (doc_key, version) and drop superseded replays.
+    ``extra_cols`` are columns replicated onto every output row — the
+    mega-build path carries ``version`` (and the ``commit`` replay
+    tiebreaker) through so the id join can qualify on
+    (doc_key, version, commit) and drop superseded replays.  Each extra
+    defaults to ``long``; ``extra_types`` overrides per column
+    (``"string"`` for commit).
 
     ``analyzer`` selects the per-field analysis chain (README-EN.org:
     188-241): ``"code"`` (identifier-splitting, the default) or
@@ -152,7 +156,9 @@ def tokenize_to_tf_sha(df, content_col: str = "content",
 
     assert key_type in ("string", "long")
     assert analyzer in ("code", "simple")
-    extra_schema = "".join(f", {c} long" for c in extra_cols)
+    etypes = {c: (extra_types or {}).get(c, "long") for c in extra_cols}
+    assert all(t in ("string", "long") for t in etypes.values())
+    extra_schema = "".join(f", {c} {etypes[c]}" for c in extra_cols)
     schema = (
         f"{key_col} {key_type}{extra_schema}, dl long, term string, "
         "tf long, content_sha string"
@@ -194,7 +200,10 @@ def tokenize_to_tf_sha(df, content_col: str = "content",
                     extras[c].extend([v] * (n + 1))
             out = {key_col: pd.Series(keys, dtype=key_dtype)}
             for c in extra_cols:
-                out[c] = pd.Series(extras[c], dtype="int64")
+                out[c] = pd.Series(
+                    extras[c],
+                    dtype="int64" if etypes[c] == "long" else "object",
+                )
             out.update(
                 {"dl": pd.Series(dls, dtype="int64"),
                  "term": pd.Series(terms, dtype="object"),

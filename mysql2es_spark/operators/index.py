@@ -59,6 +59,20 @@ class IndexConfig:
                                  # above it (initial 10^12-file builds) the
                                  # join falls back to a hash shuffle of the
                                  # compact tf rows
+    validate_replays: bool = False
+                                 # debug guard (ADVICE r3): the engine
+                                 # assumes a replayed (doc_key, version)
+                                 # is byte-identical to the original —
+                                 # with this on, a build fails (before
+                                 # publishing) if any key carries two
+                                 # distinct content hashes, instead of
+                                 # picking an arbitrary winner
+    dict_cache_max_terms: int = 2_000_000
+                                 # term count under which SearchIndex
+                                 # caches the whole dictionary driver-side
+                                 # (zero-job df lookup); above it — the
+                                 # 10^12-file regime — queries fall back
+                                 # to bucket-pruned Spark dictionary reads
 
 
 _MID_MASK = (1 << 33) - 1
@@ -68,6 +82,7 @@ def build_doc_id_map(
     df: DataFrame, base: int, cfg: IndexConfig,
     carry: tuple[str, ...] = (),
     latest_by: str | None = None,
+    tiebreak: str | None = None,
 ) -> tuple[DataFrame, int]:
     """(doc_key, doc_id) map with dense deterministic ids.
 
@@ -80,6 +95,11 @@ def build_doc_id_map(
     repartition+sort already here, so dedupe costs no extra Exchange.
     ``carry`` names narrow extra columns (e.g. the winning ``version``)
     to ride along through the shuffle+sort into the output map.
+    ``tiebreak`` (ADVICE r3) adds a deterministic secondary order for
+    rows sharing (doc_key, latest_by) — e.g. ``commit`` — so the winner
+    whose content lands in the docstore is the same winner whose
+    postings get indexed, even when a replay violates the
+    same-key-same-version-implies-identical-bytes assumption.
 
     Only narrow key columns flow through the shuffle+sort (column pruning
     keeps content out of it entirely).  Hash-repartition into a *fixed*
@@ -100,7 +120,10 @@ def build_doc_id_map(
         # the window needs no new Exchange; its sort (doc_key, latest_by
         # desc) leaves survivors ordered by doc_key — exactly the order
         # the id assignment wants
-        w = Window.partitionBy("doc_key").orderBy(F.desc(latest_by))
+        order = [F.desc(latest_by)]
+        if tiebreak is not None:
+            order.append(F.desc(tiebreak))
+        w = Window.partitionBy("doc_key").orderBy(*order)
         sel = (
             sel.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

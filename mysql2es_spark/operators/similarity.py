@@ -212,6 +212,7 @@ def embedding_near_dup_pairs(
     nbits: int = 16,
     bands: int = 4,
     seed: int = 42,
+    broadcast_pair_limit: int = 5_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via *banded* hyperplane LSH:
     the signature's nbits are split into ``bands``; a pair becomes a
@@ -225,10 +226,11 @@ def embedding_near_dup_pairs(
     the scan and the raw vectors never enter the band Exchange (they
     used to be duplicated bands x per row through it, with cosine
     computed once per banded collision).  Candidate (a, b) pairs are
-    deduped FIRST, then each side's embedding joins back once: the pair
-    set broadcasts onto the vector scan for side a (map-side, no vector
-    movement), and the single sort-merge pairing that follows moves each
-    candidate's vector exactly once.  Cosine is evaluated once per
+    deduped FIRST, then each side's embedding joins back once — the
+    pair set is counted and broadcast only under
+    ``broadcast_pair_limit`` (unbounded broadcasts die at 100-TB dup
+    rates; see the inline join-strategy note), so each candidate's
+    vector moves at most once per side and cosine is evaluated once per
     distinct pair."""
     dim_row = df.select(F.size(F.col(vec_col)).alias("d")).head()
     planes = hyperplanes(int(dim_row["d"]), nbits, seed)
@@ -261,18 +263,28 @@ def embedding_near_dup_pairs(
         .distinct()
     )
     vecs = df.select(F.col(id_col), F.col(vec_col))
-    # side a: broadcast the id-only pair set onto the vector scan —
-    # vectors stay put; output is one row per candidate pair
+    # join strategy at scale (ADVICE r3 medium): the candidate-pair set's
+    # size is driven by the collision/dup rate, not a constant — an
+    # UNCONDITIONAL F.broadcast(cand) would bypass
+    # autoBroadcastJoinThreshold sizing and hard-fail past the broadcast
+    # budget at 100-TB dup rates.  Size-gate it instead: count the
+    # ids-only pair set (cheap — two longs per row) and broadcast only
+    # under ``broadcast_pair_limit`` (5M pairs ~= 80 MB).  The small
+    # path keeps the map-side shape (vectors never reshuffled, one
+    # Exchange per side); the large path degrades to shuffled joins —
+    # slower, but it completes instead of OOMing the driver.
+    n_cand = cand.count()
+    maybe_broadcast = F.broadcast if n_cand <= broadcast_pair_limit else (
+        lambda d: d
+    )
     with_va = vecs.join(
-        F.broadcast(cand), vecs[id_col] == cand["a"]
+        maybe_broadcast(cand), vecs[id_col] == cand["a"]
     ).select("a", "b", F.col(vec_col).alias("_va"))
-    # side b: restrict the scan to candidate ids map-side (broadcast
-    # semi-join — no vector movement), then pair up via one join keyed
-    # by b: each candidate's vector crosses this single Exchange exactly
-    # once
+    # side b: restrict the scan to candidate ids (semi-join — no vector
+    # movement on the small path), then pair up via one join keyed by b
     vecs_b = (
         vecs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
-        .join(F.broadcast(cand.select("b").distinct()), "b", "left_semi")
+        .join(maybe_broadcast(cand.select("b").distinct()), "b", "left_semi")
     )
     pairs = (
         with_va.join(vecs_b, "b")

@@ -251,6 +251,26 @@ def build_segment(
         ).parquet(spill)
         rows = spark.read.parquet(spill)
         meta_rows = rows.filter(F.col("term").isNull())
+        if cfg.validate_replays:
+            # debug guard (ADVICE r3): a replayed (doc_key, version)
+            # must be byte-identical — two distinct content hashes under
+            # one key would make the docstore's sha/dl and the indexed
+            # postings disagree on which row "won".  Fail BEFORE any
+            # consumer writes, from the spill's tiny meta rows.
+            grp = list(meta_join) + (["fidx"] if multi else [])
+            bad = (
+                meta_rows.groupBy(*grp)
+                .agg(F.count_distinct("content_sha").alias("_n"))
+                .filter(F.col("_n") > 1)
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"{bad} (doc_key, version) groups carry non-identical "
+                    "content — replays must be byte-identical (set "
+                    "IndexConfig.validate_replays=False to pick arbitrary "
+                    "winners)"
+                )
         # consumers run sequentially: measured — concurrent driver-thread
         # jobs thrash python workers/memory at high core counts (52s vs
         # 14s for the same three jobs at 32 threads)
@@ -351,12 +371,19 @@ def build_segment(
     if meta is None:  # resume path: recover stats from the docstore
         from ..sources.fs import get_fs
 
+        res_fields = list((text_fields or {"content": "code"}).items())
+        res_extra = [
+            F.sum(f"dl_{fcol}").alias(f"_s{i}")
+            for i, (fcol, _) in enumerate(res_fields)
+            if i > 0
+        ]
         store = spark.read.parquet(doc_path)
         agg = store.agg(
             F.count("*").alias("n"),
             F.sum("dl").alias("sdl"),
             F.min("doc_id").alias("lo"),
             F.max("doc_id").alias("hi"),
+            *res_extra,
         ).collect()[0]
         fs = get_fs(seg_dir)
         fstats_path = os.path.join(seg_dir, "fieldstats.json")
@@ -365,6 +392,19 @@ def build_segment(
             import json as _json
 
             resumed_field_stats = _json.loads(fs.read_text(fstats_path))
+        elif len(res_fields) > 1:
+            # crash window: dictionary _SUCCESS landed but the sidecar
+            # didn't (ADVICE r3).  The docstore already carries every
+            # secondary field's dl_<field>, so recompute the per-field
+            # sums instead of silently degrading avgdl_for() to the
+            # primary sum_dl — and self-heal the sidecar for next time.
+            import json as _json
+
+            resumed_field_stats = {res_fields[0][0]: int(agg["sdl"] or 0)}
+            for i, (fcol, _) in enumerate(res_fields):
+                if i > 0:
+                    resumed_field_stats[fcol] = int(agg[f"_s{i}"] or 0)
+            fs.write_text_atomic(fstats_path, _json.dumps(resumed_field_stats))
         meta = SegmentMeta(
             name=seg_name,
             n_docs=int(agg["n"]),
@@ -922,7 +962,8 @@ class SearchIndex:
     display fields (repo/path/lang — the flattened struct columns of the
     north_rule)."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 cfg: IndexConfig | None = None):
         from ..sources.fs import get_fs
 
         self.spark = spark
@@ -937,11 +978,11 @@ class SearchIndex:
         self._tombstones_loaded = False
         self._dict_cache: dict[str, int] | None = None
         self._dict_cache_tried = False
-        # driver-side dictionary cache cap: code corpora at sandbox scale
-        # have ~10^3..10^5 distinct terms; at 10^12-file scale the
-        # dictionary no longer fits a driver, so cap and fall back to
-        # bucket-pruned Spark reads
-        self.dict_cache_max_terms = 2_000_000
+        # driver-side dictionary cache cap (IndexConfig knob): code
+        # corpora at sandbox scale have ~10^3..10^5 distinct terms; at
+        # 10^12-file scale the dictionary no longer fits a driver, so
+        # cap and fall back to bucket-pruned Spark reads
+        self.dict_cache_max_terms = (cfg or IndexConfig()).dict_cache_max_terms
 
     # -- plumbing ---------------------------------------------------------
     def stats(self) -> CorpusStats:
@@ -1386,19 +1427,34 @@ def compact(
             for s in group
             for b in idx._seg_bucket_dirs(s.name)
         ]
-        posts = spark.read.parquet(*post_paths).withColumn(
-            "bucket",
-            F.regexp_extract(
-                F.input_file_name(), r"/bucket=(\d+)/", 1
-            ).cast("int"),
-        )
-        posts.mapInPandas(rewrite, POSTING_SCHEMA).repartition("bucket") \
-            .sortWithinPartitions("term", "first_doc") \
-            .write.mode("overwrite").partitionBy("bucket").parquet(out_post)
-        write_dictionary(
-            spark, out_post,
-            os.path.join(root, "segments", merged_name, "dictionary"),
-        )
+        if not post_paths:
+            # victim group with no posting blocks at all (e.g. empty
+            # deltas, or docs that tokenized to zero terms):
+            # spark.read.parquet([]) would raise (ADVICE r3).  A fully
+            # empty group just drops out of the manifest; a docs-but-no-
+            # terms group keeps its docstore and gets empty postings/
+            # dictionary dirs, which the query path already treats as
+            # "no blocks" (_seg_bucket_dirs finds no bucket= dirs).
+            if sum(s.n_docs for s in group) == 0:
+                continue
+            for sub in ("postings", "dictionary"):
+                d = os.path.join(root, "segments", merged_name, sub)
+                idx._fs.makedirs(d)
+                idx._fs.write_text_atomic(os.path.join(d, "_SUCCESS"), "")
+        else:
+            posts = spark.read.parquet(*post_paths).withColumn(
+                "bucket",
+                F.regexp_extract(
+                    F.input_file_name(), r"/bucket=(\d+)/", 1
+                ).cast("int"),
+            )
+            posts.mapInPandas(rewrite, POSTING_SCHEMA).repartition("bucket") \
+                .sortWithinPartitions("term", "first_doc") \
+                .write.mode("overwrite").partitionBy("bucket").parquet(out_post)
+            write_dictionary(
+                spark, out_post,
+                os.path.join(root, "segments", merged_name, "dictionary"),
+            )
         store = spark.read.parquet(*[
             os.path.join(root, "segments", s.name, "docstore")
             for s in group

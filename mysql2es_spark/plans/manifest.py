@@ -198,13 +198,39 @@ def publish(root: str, m: Manifest) -> None:
 
 
 def load_current(root: str) -> Manifest | None:
+    """Resolve CURRENT -> Manifest.
+
+    On object stores the CURRENT swap is delete-then-copy (see
+    ``sources.fs``), so a concurrent reader can catch the pointer
+    mid-rename.  Non-local roots therefore retry the read and, if
+    CURRENT stays missing while numbered manifests exist, fall back to
+    the highest ``manifest-*.json`` — manifests are immutable and
+    monotonically numbered, so max-version is always a published state
+    at least as new as whatever CURRENT pointed to."""
+    import re
+    import time as _time
+
     from ..sources.fs import get_fs
 
     fs = get_fs(root)
     cur = os.path.join(root, "CURRENT")
-    if not fs.exists(cur):
-        return None
-    name = fs.read_text(cur).strip()
+    attempts = 1 if fs.local else 3
+    name = None
+    for i in range(attempts):
+        if fs.exists(cur):
+            name = fs.read_text(cur).strip()
+            break
+        if i < attempts - 1:
+            _time.sleep(0.2 * (i + 1))
+    if name is None:
+        # fallback: newest immutable manifest, if any were ever published
+        versions = sorted(
+            n for n in fs.listdir(root)
+            if re.fullmatch(r"manifest-\d{6}\.json", n)
+        )
+        if not versions:
+            return None
+        name = versions[-1]
     d = json.loads(fs.read_text(os.path.join(root, name)))
     d["segments"] = [SegmentMeta(**s) for s in d["segments"]]
     return Manifest(**d)

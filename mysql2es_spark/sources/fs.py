@@ -15,9 +15,11 @@ operations through a two-backend interface:
   (``spark._jvm.org.apache.hadoop.fs``), for ``hdfs://`` / ``s3a://`` /
   any scheme the cluster's Hadoop conf knows.  Atomic pointer swap uses
   ``FileContext.rename(..., Options.Rename.OVERWRITE)`` — the same
-  rename-with-overwrite HDFS guarantees atomically (object stores give
-  their own weaker semantics; the CURRENT pointer is a single small
-  object, so last-writer-wins is still safe there).
+  rename-with-overwrite HDFS guarantees atomically.  Object stores
+  implement rename as delete-then-copy (NOT atomic): a concurrent
+  reader can transiently observe CURRENT missing, so
+  ``manifest.load_current`` retries and falls back to the highest
+  ``manifest-*.json`` version before concluding "no index".
 
 Bulk data (docstore/postings/tombstone parquet) always goes through
 Spark readers/writers, which are already location-transparent — this
@@ -167,17 +169,30 @@ class HadoopFS:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
-        # FileContext.rename with OVERWRITE: atomic on HDFS (and the
-        # strongest primitive each store exposes elsewhere).  The vararg
-        # needs a real Java array — py4j's auto-converted ArrayList does
-        # not match Options.Rename...
+        # FileContext.rename with OVERWRITE: atomic on HDFS.  Object
+        # stores (s3a) implement it as delete-then-copy, which is NOT
+        # atomic — a concurrent reader can observe the target missing;
+        # ``manifest.load_current`` compensates with a retry + a
+        # manifest-*.json max-version fallback.  The vararg needs a real
+        # Java array — py4j's auto-converted ArrayList does not match
+        # Options.Rename...
         Rename = self._jvm.org.apache.hadoop.fs.Options.Rename
         opts = self._gateway.new_array(Rename, 1)
         opts[0] = Rename.OVERWRITE
         fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
             self._uri, self._conf
         )
-        fc.rename(self._Path(tmp), self._Path(path), opts)
+        try:
+            fc.rename(self._Path(tmp), self._Path(path), opts)
+        except Exception:
+            # don't leave a stale .tmp behind: a later writer's create(
+            # overwrite) would succeed but listings/compaction tooling
+            # would see ghost files accumulate
+            try:
+                self._fs.delete(self._Path(tmp), False)
+            finally:
+                pass
+            raise
 
     def listdir(self, path: str) -> list[str]:
         self._resolve()

@@ -130,6 +130,42 @@ def test_replay_rank_identity_vs_clean_build(spark, tmp_path):
         assert rd == rc, q
 
 
+@pytest.mark.parametrize("mega", [False, True])
+def test_validate_replays_catches_nonidentical_content(spark, tmp_path, mega):
+    """ADVICE r3: the engine assumes a replayed (doc_key, version) is
+    byte-identical.  With ``validate_replays`` on, a batch violating
+    that (same repo/path/commit/snapshot, DIFFERENT bytes) must fail the
+    build BEFORE publishing — on both the broadcast-id and mega-build
+    join paths; a clean batch must build normally under the guard."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TEST_CFG, validate_replays=True,
+        **({"broadcast_id_threshold": 0} if mega else {}),
+    )
+    bad_root = str(tmp_path / "bad")
+    rows = [
+        ("r0", "a.py", "aaa111", "py", "loserToken alpha beta", 1),
+        ("r0", "a.py", "aaa111", "py", "winnerToken gamma delta", 1),
+        ("r0", "b.py", "ccc333", "py", "other content here", 1),
+    ]
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string, snapshot_id long")
+    with pytest.raises(ValueError, match="non-identical"):
+        full_build(spark, spark.createDataFrame(rows, schema), bad_root,
+                   cfg, snapshot_id=1)
+    from mysql2es_spark.plans.manifest import load_current
+
+    assert load_current(bad_root) is None  # nothing was published
+
+    good_root = str(tmp_path / "good")
+    good = [rows[0], rows[0], rows[2]]  # byte-identical replay: fine
+    m = full_build(spark, spark.createDataFrame(good, schema), good_root,
+                   cfg, snapshot_id=1)
+    assert m.n_docs_total == 2
+    assert SearchIndex(spark, good_root, cfg).search("alpha", k=5).count() == 1
+
+
 def test_legacy_per_segment_tombstones_honoured(spark, tmp_path):
     """ADVICE r2 medium: an index written before the root-level tombstone
     layout (per-segment tombstones-N dirs, manifest.tombstones=None but

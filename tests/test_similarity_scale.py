@@ -50,6 +50,26 @@ def test_near_dup_matches_bruteforce(spark, vectors):
     assert len(keys) == len(set(keys))
 
 
+def test_near_dup_shuffled_fallback_matches_broadcast(spark, vectors):
+    """Above ``broadcast_pair_limit`` the join-backs degrade to shuffled
+    joins (ADVICE r3: an unbounded forced broadcast would OOM at 100-TB
+    dup rates); the answer must be identical either way."""
+    small = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in SIM.embedding_near_dup_pairs(
+            vectors, "emb", "vec_id", threshold=0.99
+        ).collect()
+    }
+    large = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in SIM.embedding_near_dup_pairs(
+            vectors, "emb", "vec_id", threshold=0.99,
+            broadcast_pair_limit=0,
+        ).collect()
+    }
+    assert small == large and small
+
+
 def test_band_join_exchanges_are_vector_free(spark, vectors):
     """No Exchange that carries the band/val signature columns may carry
     the embedding column; the only vector-bearing Exchanges are the
