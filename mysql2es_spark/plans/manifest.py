@@ -66,6 +66,12 @@ class Manifest:
                                        # Multi-field indexes prefix
                                        # terms "field:term" (Lucene's
                                        # per-field term namespace)
+    version_column: str | None = None  # user-declared version column of
+                                       # the source row (the reference's
+                                       # `version-column`/`version-check`
+                                       # knob, README-EN.org:122-123) —
+                                       # any id- or time-typed column;
+                                       # None == snapshot_id (default)
 
     @property
     def n_docs_total(self) -> int:
