@@ -48,6 +48,9 @@ from mysql2es_spark.operators.upsert import latest_by_version
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
+#: per-sf materialized ANN layout roots (built once per process)
+_ANN_ROOTS: dict[str, str] = {}
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -535,31 +538,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return DD.simhash_candidates(d, "text", "doc_id", max_hamming=3)
     q["dedup_simhash"] = dedup_simhash
 
-    def ann_lsh_topk(spark, sf):
+    def _ann_index_root(spark, sf):
+        # build the materialized ANN layout once per (session, sf):
+        # partitioned by lsh_bucket/ivf_cell, queries read only probed
+        # partitions (the 100-TB path; VERDICT r3 #1)
+        from mysql2es_spark.operators.ann_index import build_ann_index
+
+        cached = _ANN_ROOTS.get(sf)
+        if cached and os.path.exists(os.path.join(cached, "ann_meta.json")):
+            return cached
         e = _t(spark, sf, "embeddings")
-        qvec = [
-            float(x)
-            for x in e.filter(F.col("vec_id") == 0).head()["embedding"]
-        ]
         cand = e.filter(F.col("vec_id") > 0).select(
             "vec_id", F.col("embedding").cast("array<double>").alias("emb")
         )
-        return SIM.lsh_cosine_topk(cand, "emb", "vec_id", qvec, k=10,
-                                   nbits=8, multiprobe=1)
+        root = tempfile.mkdtemp(prefix="m2es_annidx_")
+        build_ann_index(spark, cand, "emb", "vec_id", root)
+        _ANN_ROOTS[sf] = root
+        return root
+
+    def _qvec(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        return [
+            float(x)
+            for x in e.filter(F.col("vec_id") == 0).head()["embedding"]
+        ]
+
+    def ann_lsh_topk(spark, sf):
+        from mysql2es_spark.operators.ann_index import AnnIndex
+
+        idx = AnnIndex(spark, _ann_index_root(spark, sf))
+        top = idx.lsh_topk(_qvec(spark, sf), k=10)
+        return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
     q["ann_lsh_topk"] = ann_lsh_topk
 
     def ann_ivf_topk(spark, sf):
-        e = _t(spark, sf, "embeddings")
-        qvec = [
-            float(x)
-            for x in e.filter(F.col("vec_id") == 0).head()["embedding"]
-        ]
-        cand = e.filter(F.col("vec_id") > 0).select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-        )
-        cents = SIM.ivf_train_centroids(cand, "emb", n_centroids=8, iters=2)
-        return SIM.ivf_cosine_topk(cand, "emb", "vec_id", qvec, cents,
-                                   k=10, nprobe=3)
+        from mysql2es_spark.operators.ann_index import AnnIndex
+
+        idx = AnnIndex(spark, _ann_index_root(spark, sf))
+        top = idx.ivf_topk(_qvec(spark, sf), k=10, nprobe=4)
+        return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
     q["ann_ivf_topk"] = ann_ivf_topk
 
     def embedding_near_dup(spark, sf):
@@ -595,6 +612,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # index build is not SQL-expressible
         return entry(spark) if sf == SF_DEFAULT else _entry_at(spark, sf)
     q["bm25_blockmax"] = bm25_blockmax
+
+    def compaction_lifecycle(spark, sf):
+        # the full segment lifecycle under the driver harness (VERDICT
+        # r3 #8): build -> delta with updates (tombstones old docs) ->
+        # TIERED partial compact -> search the compacted index.
+        # Rows-only: the index build is not SQL-expressible.
+        from mysql2es_spark.operators.index import IndexConfig
+        from mysql2es_spark.plans.build import (
+            SearchIndex, apply_delta, compact, full_build,
+        )
+
+        docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
+
+        def as_corpus(d, suffix=""):
+            return d.select(
+                F.concat(F.lit("src/"), F.col("source")).alias("repo"),
+                F.concat(F.lit("doc/"), F.col("doc_id").cast("string"),
+                         F.lit(".txt")).alias("path"),
+                F.sha2(F.concat(F.col("text"), F.lit(suffix)), 256)
+                .substr(1, 12).alias("commit"),
+                F.col("lang"),
+                F.concat(F.col("text"), F.lit(suffix)).alias("content"),
+            )
+
+        cfg = IndexConfig(n_buckets=8, block_size=64, salt_threshold=500,
+                          n_salts=4, chunk_span=512, id_partitions=8)
+        root = tempfile.mkdtemp(prefix="m2es_compact_")
+        full_build(spark, as_corpus(docs), root, cfg, snapshot_id=1)
+        # update 300 docs (new commit, higher snapshot): tombstones
+        upd = as_corpus(docs.filter(F.col("doc_id") < 300), " updated v2")
+        apply_delta(
+            spark, upd.withColumn("snapshot_id", F.lit(2).cast("long")),
+            root, cfg, target_snap=2,
+        )
+        m = compact(spark, root, cfg, min_tombstone_ratio=0.05,
+                    max_segments=1)
+        assert sum(s.n_tombstones for s in m.segments) == 0
+        hits = SearchIndex(spark, root, cfg).search(
+            "fast hash join updated", k=40, exact=True
+        )
+        return (
+            hits.select(
+                F.regexp_extract("path", r"doc/(\d+)\.txt", 1)
+                .cast("long").alias("doc_id"),
+                F.round("score", 6).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(20)
+        )
+    q["compaction_lifecycle"] = compaction_lifecycle
 
     def rolling_fp(spark, sf):
         d = _t(spark, sf, "documents")

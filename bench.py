@@ -186,17 +186,20 @@ def run_suite(cores: int, n_files: int, workdir: str,
 
 
 def _ann_recall(spark, n_queries: int = 12) -> dict:
-    """Recall@10 of the LSH and IVF ANN operators vs numpy brute force
-    on the driver's sf embeddings table (VERDICT r2 #8 evidence).
+    """Recall@10 of the ANN operators through the MATERIALIZED layout
+    (partitioned by lsh_bucket/ivf_cell; queries read only probed
+    partitions — VERDICT r3 #1), vs numpy brute force on the driver's
+    sf embeddings table, plus the IVF nprobe sweep (VERDICT r3 #7).
 
-    These embeddings are near-random (top-10 cosines ~0.37), the
-    worst case for ANY sublinear ANN — recall here tracks the scanned
-    fraction; on clustered real embeddings the same defaults prune far
-    harder at high recall (see tests/test_ann_recall.py)."""
+    These embeddings are near-random (top-10 cosines ~0.37), the worst
+    case for ANY sublinear ANN — recall tracks the scanned fraction
+    (reported alongside); on clustered real embeddings the same
+    defaults prune far harder at high recall (tests/test_ann_index.py
+    pins >= 0.9)."""
     import numpy as np
     from pyspark.sql import functions as F
 
-    from mysql2es_spark.operators import similarity as SIM
+    from mysql2es_spark.operators.ann_index import AnnIndex, build_ann_index
 
     path = os.path.join(SF_DIR, "embeddings.parquet")
     if not os.path.exists(path):
@@ -209,28 +212,58 @@ def _ann_recall(spark, n_queries: int = 12) -> dict:
     ids = pdf["vec_id"].to_numpy()
     Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
     t0 = time.time()
-    qids = ids[:: max(1, len(ids) // n_queries)][:n_queries]
-    cents = SIM.ivf_train_centroids(emb, "emb", n_centroids=16, iters=2,
-                                    sample_fraction=None)
-    r_lsh, r_ivf = [], []
-    for qid in qids:
-        qi = int(np.where(ids == qid)[0][0])
-        sims = Vn @ Vn[qi]
-        sims[qi] = -2
-        true10 = set(ids[np.argsort(-sims)[:10]].tolist())
-        q = [float(x) for x in V[qi]]
-        rest = emb.filter(F.col("vec_id") != int(qid))
-        lsh = {int(r["vec_id"]) for r in SIM.lsh_cosine_topk(
-            rest, "emb", "vec_id", q, k=10).collect()}
-        ivf = {int(r["vec_id"]) for r in SIM.ivf_cosine_topk(
-            rest, "emb", "vec_id", q, cents, k=10).collect()}
-        r_lsh.append(len(true10 & lsh) / 10)
-        r_ivf.append(len(true10 & ivf) / 10)
-    return {
-        "ann_lsh_recall10": round(float(np.mean(r_lsh)), 3),
-        "ann_ivf_recall10": round(float(np.mean(r_ivf)), 3),
-        "ann_eval": time.time() - t0,
-    }
+    root = tempfile.mkdtemp(prefix="bench_ann_", dir=_SHM)
+    try:
+        build_ann_index(spark, emb, "emb", "vec_id", root)
+        t_build = time.time() - t0
+        idx = AnnIndex(spark, root)
+        total_parts = len(idx.partition_paths())
+        qids = ids[:: max(1, len(ids) // n_queries)][:n_queries]
+        nprobes = (2, 4, 8)
+        r_lsh, f_lsh = [], []
+        r_ivf = {np_: [] for np_ in nprobes}
+        f_ivf = {np_: [] for np_ in nprobes}
+        for qid in qids:
+            qi = int(np.where(ids == qid)[0][0])
+            sims = Vn @ Vn[qi]
+            sims[qi] = -2
+            true10 = set(ids[np.argsort(-sims)[:10]].tolist())
+            q = [float(x) for x in V[qi]]
+            got = [int(r["vec_id"])
+                   for r in idx.lsh_topk(q, k=11).collect()
+                   if int(r["vec_id"]) != int(qid)][:10]
+            r_lsh.append(len(true10 & set(got)) / 10)
+            f_lsh.append(
+                len(idx.partition_paths(buckets=idx.lsh_probes(q)))
+                / total_parts
+            )
+            for np_ in nprobes:
+                got = [int(r["vec_id"])
+                       for r in idx.ivf_topk(q, k=11, nprobe=np_).collect()
+                       if int(r["vec_id"]) != int(qid)][:10]
+                r_ivf[np_].append(len(true10 & set(got)) / 10)
+                f_ivf[np_].append(
+                    len(idx.partition_paths(cells=idx.ivf_probes(q, np_)))
+                    / total_parts
+                )
+        out = {
+            "ann_build": t_build,
+            "ann_lsh_recall10": round(float(np.mean(r_lsh)), 3),
+            "ann_lsh_scanfrac": round(float(np.mean(f_lsh)), 3),
+            "ann_ivf_recall10": round(float(np.mean(r_ivf[4])), 3),
+            "ann_ivf_scanfrac": round(float(np.mean(f_ivf[4])), 3),
+        }
+        for np_ in nprobes:
+            out[f"ann_ivf_recall10_np{np_}"] = round(
+                float(np.mean(r_ivf[np_])), 3
+            )
+            out[f"ann_ivf_scanfrac_np{np_}"] = round(
+                float(np.mean(f_ivf[np_])), 3
+            )
+        out["ann_eval"] = time.time() - t0
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _burn(_arg):

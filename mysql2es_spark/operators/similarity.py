@@ -112,10 +112,11 @@ def lsh_cosine_topk(
     for close neighbors).
 
     The membership test is pure Column math over broadcast literal
-    planes — one narrow scan, no shuffle, no Python.  At scale the
-    table is written partitioned by table-0's ``lsh_bucket`` (partition
-    pruning covers that table's probes; the other tables' probes read
-    bucket-pruned row groups via a materialized signature column)."""
+    planes — one narrow scan, no shuffle, no Python.  This is the
+    UNINDEXED fallback: it reads every row per query.  At scale, build
+    the materialized layout once (``ann_index.build_ann_index`` — table
+    written partitioned by ``lsh_bucket``) and query through
+    ``AnnIndex.lsh_topk``, which reads only probed partitions."""
     dim = len(query_vec)
     qv = np.asarray(query_vec, dtype=np.float64)
     cond = None
@@ -189,8 +190,10 @@ def ivf_cosine_topk(
     nprobe: int = 2,
 ) -> DataFrame:
     """IVF ANN: scan only the ``nprobe`` centroids' cells nearest to the
-    query.  At scale the table is written partitioned by ``ivf_cell``, so
-    this is partition pruning; here the cell filter prunes row groups."""
+    query.  UNINDEXED fallback — ``ivf_assign`` recomputes per query
+    over the full scan; at scale, materialize the layout once
+    (``ann_index.build_ann_index``, partitioned by ``ivf_cell``) and
+    query through ``AnnIndex.ivf_topk`` (pure partition pruning)."""
     qv = np.asarray(query_vec, dtype=np.float64)
 
     def cos(c):

