@@ -613,6 +613,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return entry(spark) if sf == SF_DEFAULT else _entry_at(spark, sf)
     q["bm25_blockmax"] = bm25_blockmax
 
+    def version_upsert(spark, sf):
+        # REAL-ENGINE oracle-checked upsert under a USER version column
+        # (README-EN.org:122-123 version-column/version-check): base
+        # corpus at mtime=1000, one delta carrying updates (mtime=2000,
+        # doc_id%5) AND stale replays (mtime=500, doc_id%7) in the same
+        # batch.  Stale rows must be dead on arrival, updates must win
+        # even though the snapshot ordering alone wouldn't decide it.
+        # The live doc set + per-doc dl ("simple" analyzer — SQL twin
+        # tokenizes identically) is fully expressible in DuckDB.
+        from mysql2es_spark.operators.index import IndexConfig
+        from mysql2es_spark.plans.build import SearchIndex, apply_delta, full_build
+
+        docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 1500)
+
+        def as_corpus(d, mtime, suffix=""):
+            return d.select(
+                F.concat(F.lit("src/"), F.col("source")).alias("repo"),
+                F.concat(F.lit("doc/"), F.col("doc_id").cast("string"),
+                         F.lit(".txt")).alias("path"),
+                F.sha2(F.concat(F.col("text"), F.lit(suffix)), 256)
+                .substr(1, 12).alias("commit"),
+                F.col("lang"),
+                F.concat(F.col("text"), F.lit(suffix)).alias("content"),
+                F.lit(mtime).cast("long").alias("mtime"),
+            )
+
+        cfg = IndexConfig(n_buckets=8, block_size=64, salt_threshold=2000,
+                          n_salts=4, chunk_span=1024, id_partitions=8)
+        root = tempfile.mkdtemp(prefix="m2es_vc_")
+        full_build(spark, as_corpus(docs, 1000), root, cfg, snapshot_id=1,
+                   text_fields={"content": "simple"},
+                   version_column="mtime")
+        upd = as_corpus(docs.filter(F.col("doc_id") % 5 == 0), 2000, " v2")
+        stale = as_corpus(docs.filter(F.col("doc_id") % 7 == 0), 500,
+                          " stale")
+        apply_delta(
+            spark,
+            upd.unionByName(stale)
+            .withColumn("snapshot_id", F.lit(2).cast("long")),
+            root, cfg, target_snap=2,
+        )
+        idx = SearchIndex(spark, root, cfg)
+        live = idx.docstore()
+        tomb = idx.tombstones()
+        if tomb is not None:
+            live = live.join(tomb, "doc_id", "left_anti")
+        return live.select(
+            F.regexp_extract("path", r"doc/(\d+)\.txt", 1)
+            .cast("long").alias("doc_id"),
+            F.col("version"),
+            F.col("dl"),
+        )
+    q["version_upsert"] = version_upsert
+
     def compaction_lifecycle(spark, sf):
         # the full segment lifecycle under the driver harness (VERDICT
         # r3 #8): build -> delta with updates (tombstones old docs) ->
@@ -1111,6 +1165,17 @@ WITH toks AS (
 SELECT doc_id, round(rs, 6) AS score
 FROM scores ORDER BY rs DESC, doc_id LIMIT 20
 """
+
+    sql["version_upsert"] = f"""
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN 2000 ELSE 1000 END::BIGINT
+                 AS version,
+               len(list_filter(string_split_regex(
+                     lower(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                                ELSE text END),
+                     '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS dl
+        FROM documents WHERE doc_id < 1500
+    """
 
     sql["frame_sample"] = """
         SELECT media_id,

@@ -95,6 +95,12 @@ def build_ann_index(
             lsh_signature(F.col(vec_col), planes).alias("lsh_bucket"),
             ivf_assign(F.col(vec_col), cents).alias("ivf_cell"),
         )
+        # co-locate each leaf's rows in one task before the partitioned
+        # write: without this, every write task opens a file per leaf it
+        # touches (tasks x partitions small files); with it the layout
+        # gets one file per (bucket, cell).  At petabyte scale cap file
+        # size with spark.sql.files.maxRecordsPerFile instead.
+        .repartition("lsh_bucket", "ivf_cell")
         .write.mode("overwrite")
         .partitionBy("lsh_bucket", "ivf_cell")
         .parquet(os.path.join(root, _DATA))
