@@ -511,6 +511,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     q["ngram_jaccard"] = ngram_jaccard
 
+    def dedup_clusters(spark, sf):
+        # connected components over verified near-dup pairs (the step
+        # after pair generation in every dedup pipeline): hash-to-min
+        # label propagation, oracle-checked against a DuckDB recursive
+        # CTE computing the same transitive closure
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+        pairs = DD.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3,
+                                       threshold=0.2).select("a", "b")
+        comp = DD.connected_components(pairs)
+        return comp.select(
+            F.col("id").cast("long").alias("doc_id"),
+            F.col("component").cast("long").alias("component"),
+        )
+    q["dedup_clusters"] = dedup_clusters
+
     def embedding_cosine_topk(spark, sf):
         e = _t(spark, sf, "embeddings")
         qvec = [
@@ -1109,6 +1124,42 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = a
         JOIN sizes sb ON sb.doc_id = b
         WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2
+    """
+
+    sql["dedup_clusters"] = f"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, {_SQL_TOKS} AS ts FROM documents WHERE doc_id < 300
+        ), sh AS (
+          SELECT doc_id, unnest(
+            list_distinct(
+              CASE WHEN len(ts) >= 3 THEN
+                list_transform(generate_series(1, len(ts) - 2),
+                               i -> array_to_string(list_slice(ts, i, i + 2), ' '))
+              ELSE [array_to_string(ts, ' ')] END
+            )
+          ) AS sh
+          FROM toks
+        ), sizes AS (
+          SELECT doc_id, count(*)::bigint AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT l.doc_id AS a, r.doc_id AS b, count(*)::bigint AS inter
+          FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT a, b FROM inter
+          JOIN sizes sa ON sa.doc_id = a
+          JOIN sizes sb ON sb.doc_id = b
+          WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2
+        ), edges AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION
+          SELECT b AS src, a AS dst FROM pairs
+        ), reach(id, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
+        )
+        SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
     """
 
     sql["embedding_cosine_topk"] = """

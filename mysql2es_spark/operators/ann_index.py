@@ -121,6 +121,36 @@ def build_ann_index(
     return meta
 
 
+def append_ann_index(
+    spark: SparkSession, df: DataFrame, root: str,
+) -> dict:
+    """Append new vectors to an existing layout using its PERSISTED
+    planes/centroids (new rows land in the same partition scheme, so
+    every probe keeps seeing one coherent layout — the ANN analogue of
+    an incremental segment build).  Drift in the vector distribution
+    degrades IVF cell balance over time; rebuild with
+    ``build_ann_index`` when recall drops."""
+    from ..sources.fs import get_fs
+
+    fs = get_fs(root, spark)
+    meta = json.loads(fs.read_text(os.path.join(root, _META)))
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            *[F.col(c) for c in meta.get("extra_cols", [])],
+            lsh_signature(F.col(vec_col), meta["planes"]).alias("lsh_bucket"),
+            ivf_assign(F.col(vec_col), meta["centroids"]).alias("ivf_cell"),
+        )
+        .repartition("lsh_bucket", "ivf_cell")
+        .write.mode("append")
+        .partitionBy("lsh_bucket", "ivf_cell")
+        .parquet(os.path.join(root, _DATA))
+    )
+    return meta
+
+
 class AnnIndex:
     """Query-side handle over a materialized ANN layout.
 

@@ -301,3 +301,80 @@ def simhash_candidates(
         .select("a", "b", "hamming")
     )
     return pairs
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "a", b: str = "b", max_iter: int = 20
+) -> DataFrame:
+    """(id, component) from an undirected near-dup pair set — the step
+    after candidate verification in every dedup pipeline: pairs say
+    "these two are dups", components say "this is one document group".
+
+    Hash-to-min label propagation: every node starts labeled with its
+    own id; each round a node takes the min label over itself and its
+    neighbors; stop when no label changes.  Rounds = graph diameter —
+    near-dup groups are dense (LSH+verify emits most intra-group
+    pairs), so 2-3 rounds in practice; ``max_iter`` bounds adversarial
+    chains.  Per round: ONE shuffle (edge-label join + min agg);
+    ``localCheckpoint`` cuts the growing lineage so round N's plan does
+    not replay rounds 1..N-1.  At 100 TB the state is one (id, label)
+    row per PAIRED doc (unpaired docs never enter), edges are the pair
+    set x2 — both shuffle-partitioned, nothing driver-side but the
+    convergence counter."""
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"],
+                        "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nmin"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_canonical(
+    df: DataFrame, pairs: DataFrame, id_col: str,
+    a: str = "a", b: str = "b",
+) -> DataFrame:
+    """Keep ONE document per near-dup component (the min-id canonical)
+    plus every unpaired document — the final filter of the dedup
+    pipeline.  One components pass + one left-anti join against the
+    non-canonical id set; the anti side carries ids only."""
+    comp = connected_components(pairs, a, b)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -125,6 +125,52 @@ def test_indexed_matches_probed_bruteforce(spark, clustered, ann_root):
     assert got == expect and got
 
 
+def test_append_to_layout(spark, clustered, tmp_path):
+    """Incremental vectors: append uses the PERSISTED planes/centroids,
+    so appended rows land in the same partition scheme and queries see
+    one coherent layout."""
+    from mysql2es_spark.operators.ann_index import append_ann_index
+
+    first = clustered.filter(F.col("vec_id") < 900)
+    rest = clustered.filter(F.col("vec_id") >= 900)
+    root = str(tmp_path / "annapp")
+    build_ann_index(spark, first, "emb", "vec_id", root)
+    append_ann_index(spark, rest, root)
+    idx = AnnIndex(spark, root)
+    total = spark.read.parquet(*idx.partition_paths())
+    assert total.count() == N_CLUSTERS * PER_CLUSTER
+    # an appended vector is its own nearest neighbor through the index
+    pdf = clustered.toPandas()
+    q = [float(x) for x in pdf[pdf.vec_id == 1100].emb.iloc[0]]
+    res = idx.lsh_topk(q, k=5)
+    got = [int(r["vec_id"]) for r in res.collect()]
+    assert got and got[0] == 1100
+    # pruning still holds over the appended layout
+    probes = idx.lsh_probes(q)
+    for f in res.inputFiles():
+        m = re.search(r"lsh_bucket=(\d+)", f)
+        assert m and int(m.group(1)) in probes, f
+
+
+def test_ann_layout_via_hadoop_api(spark, clustered, tmp_path, monkeypatch):
+    """The ANN layout is location-transparent like the search index: the
+    sidecar write/read and partition-dir enumeration run through the
+    Hadoop FileSystem API (file:/ here; same code path as hdfs://)."""
+    from mysql2es_spark.sources import fs as fsmod
+
+    monkeypatch.setattr(fsmod, "FORCE_HADOOP", True)
+    root = str(tmp_path / "annh")
+    build_ann_index(spark, clustered, "emb", "vec_id", root)
+    idx = AnnIndex(spark, root)
+    assert not idx._fs.local
+    pdf = clustered.toPandas()
+    q = [float(x) for x in pdf[pdf.vec_id == 0].emb.iloc[0]]
+    got = [int(r["vec_id"]) for r in idx.lsh_topk(q, k=5).collect()]
+    assert got and got[0] == 0  # the vector itself is its own 1-NN
+    got_ivf = [int(r["vec_id"]) for r in idx.ivf_topk(q, k=5).collect()]
+    assert got_ivf and got_ivf[0] == 0
+
+
 def test_layout_roundtrip_and_meta(spark, clustered, ann_root):
     idx = AnnIndex(spark, ann_root)
     # every row landed in exactly one leaf; ids survive the roundtrip
