@@ -526,6 +526,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dedup_clusters"] = dedup_clusters
 
+    def dedup_canonical(spark, sf):
+        # the final dedup filter: keep ONE doc per near-dup component
+        # (min id) + every unpaired doc
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+        pairs = DD.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3,
+                                       threshold=0.2).select("a", "b")
+        kept = DD.dedup_canonical(d.select("doc_id", "n_chars"), pairs,
+                                  "doc_id")
+        return kept.select("doc_id", "n_chars")
+    q["dedup_canonical"] = dedup_canonical
+
     def embedding_cosine_topk(spark, sf):
         e = _t(spark, sf, "embeddings")
         qvec = [
@@ -1126,8 +1137,8 @@ def oracle_sql() -> dict[str, str]:
         WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2
     """
 
-    sql["dedup_clusters"] = f"""
-        WITH RECURSIVE toks AS (
+
+    _cc_ctes = f"""toks AS (
           SELECT doc_id, {_SQL_TOKS} AS ts FROM documents WHERE doc_id < 300
         ), sh AS (
           SELECT doc_id, unnest(
@@ -1158,8 +1169,20 @@ def oracle_sql() -> dict[str, str]:
           SELECT src, src FROM edges
           UNION
           SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
-        )
-        SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+        ), comp AS (
+          SELECT id, min(r) AS component FROM reach GROUP BY id
+        )"""
+
+    sql["dedup_canonical"] = f"""
+        WITH RECURSIVE {_cc_ctes}
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id < 300
+          AND doc_id NOT IN (SELECT id FROM comp WHERE id != component)
+    """
+
+    sql["dedup_clusters"] = f"""
+        WITH RECURSIVE {_cc_ctes}
+        SELECT id AS doc_id, component FROM comp
     """
 
     sql["embedding_cosine_topk"] = """

@@ -21,7 +21,9 @@ Modes:
                                (this VM has noisy neighbors — min of 2
                                per level), plus a pure-CPU calibration
                                of the box's own scaling ceiling.
-                               Prints the JSON line and rewrites BENCH.md.
+                               Prints the JSON line and appends it to
+                               BENCH_scaling_runs.jsonl (BENCH.md is
+                               curated by hand across windows).
 """
 
 from __future__ import annotations
@@ -377,7 +379,7 @@ def main() -> None:
                     },
                 }
             )
-            _write_bench_md(result)
+            _append_scaling_log(result)
         else:
             os.sched_setaffinity(0, set(range(CPUS)))
             ensure_corpus(workdir, n_files, CPUS)
@@ -395,46 +397,13 @@ def main() -> None:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
-def _write_bench_md(result: dict) -> None:
-    s = result["scaling"]
-    lo, hi = s["cores_low"], s["cores_high"]
-    md = f"""# BENCH — measured numbers
-
-Corpus: {result['n_files']} synthesized source files (deterministic,
-seed=42), same input parquet for every run.  Runs are CPU-pinned
-(`sched_setaffinity` before the JVM starts) so `local[{lo}]` really gets
-{lo} cores — the sandbox form of the north rule's N-vs-4N cluster-size
-criterion — and interleaved {lo}/{hi}/{lo}/{hi} with min-of-2 per level
-because this VM has noisy neighbors.
-
-| cores | index build files/sec | build sec (min of 2) |
-| --- | --- | --- |
-| {lo} | {s['files_per_sec_low']} | {result['queries'][f'c{lo}_index_build']} |
-| {hi} | {s['files_per_sec_high']} | {result['queries'][f'c{hi}_index_build']} |
-
-**Scaling efficiency (build): {s['efficiency']}** — raw
-`(T_{lo} / T_{hi}) / ({hi}/{lo})`, target >= 0.8.
-
-**Machine ceilings: CPU {s['cpu_ceiling']}, memory-bandwidth
-{s.get('membw_ceiling', 'n/a')}** — the same ratio for a pure-CPU busy
-loop and for N pinned processes each streaming a 256 MB array.  A
-single VM shares ONE memory-bandwidth domain across both levels, unlike
-a real N-vs-4N executor cluster where bandwidth scales with executors —
-the tokenize/shuffle stages track the bandwidth ceiling, not the CPU
-one.  Engine efficiency normalized: **{s['efficiency_vs_ceiling']}** vs
-CPU ceiling, **{s.get('efficiency_vs_membw', 'n/a')}** vs bandwidth
-ceiling.
-
-First-run query timings at {hi} cores: {
-        {k[len(f'c{hi}_'):]: v for k, v in result['queries'].items()
-         if k.startswith(f'c{hi}_') and 'index_build' not in k}
-    }
-
-Raw: `{json.dumps(result)}`
-"""
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH.md"), "w") as f:
-        f.write(md)
+def _append_scaling_log(result: dict) -> None:
+    """One JSON line per scaling window — BENCH.md itself is curated by
+    hand so multi-window history and ceilings survive re-runs."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_scaling_runs.jsonl")
+    with open(path, "a") as f:
+        f.write(json.dumps(result) + "\n")
 
 
 if __name__ == "__main__":

@@ -68,6 +68,45 @@ def stream_index_ingest(
     return writer.start()
 
 
+def stream_ann_ingest(
+    spark: SparkSession,
+    vectors_dir: str,
+    ann_root: str,
+    checkpoint_dir: str,
+    schema: str = "vec_id long, emb array<double>",
+    available_now: bool = True,
+):
+    """Continuously append embedding vectors to a materialized ANN
+    layout (``operators.ann_index``): each micro-batch lands in the
+    layout's existing partition scheme via the persisted
+    planes/centroids — the ANN analogue of ``stream_index_ingest``'s
+    incremental segments.  The layout must exist (``build_ann_index``
+    bootstraps it); the file-source checkpoint gives once-per-file
+    delivery."""
+    from ..operators.ann_index import append_ann_index
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "64")
+        .parquet(vectors_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_ann_index(batch_df.sparkSession, batch_df, ann_root)
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="5 seconds")
+    return writer.start()
+
+
 def windowed_event_counts(
     spark: SparkSession,
     events_path: str,

@@ -152,6 +152,29 @@ def test_append_to_layout(spark, clustered, tmp_path):
         assert m and int(m.group(1)) in probes, f
 
 
+def test_stream_ann_ingest(spark, clustered, tmp_path):
+    """Streaming vectors append into the layout through the same
+    persisted-scheme path as the batch append (foreachBatch)."""
+    from mysql2es_spark.streaming.stream import stream_ann_ingest
+
+    first = clustered.filter(F.col("vec_id") < 900)
+    rest = clustered.filter(F.col("vec_id") >= 900)
+    root = str(tmp_path / "annstream")
+    build_ann_index(spark, first, "emb", "vec_id", root)
+    vdir = str(tmp_path / "vstream")
+    rest.write.mode("overwrite").parquet(vdir)
+    q = stream_ann_ingest(spark, vdir, root,
+                          str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    idx = AnnIndex(spark, root)
+    total = spark.read.parquet(*idx.partition_paths())
+    assert total.count() == N_CLUSTERS * PER_CLUSTER
+    pdf = clustered.toPandas()
+    qv = [float(x) for x in pdf[pdf.vec_id == 1150].emb.iloc[0]]
+    got = [int(r["vec_id"]) for r in idx.lsh_topk(qv, k=3).collect()]
+    assert got and got[0] == 1150
+
+
 def test_ann_layout_via_hadoop_api(spark, clustered, tmp_path, monkeypatch):
     """The ANN layout is location-transparent like the search index: the
     sidecar write/read and partition-dir enumeration run through the

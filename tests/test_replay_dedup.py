@@ -233,3 +233,35 @@ def test_legacy_per_segment_tombstones_honoured(spark, tmp_path):
     compact(spark, root, TEST_CFG)
     store = SearchIndex(spark, root).docstore()
     assert not (dead_ids & {int(r["doc_id"]) for r in store.collect()})
+
+
+def test_mega_build_path_rank_identical(spark, tmp_path):
+    """The mega-build shuffle-join path (id map too big to broadcast —
+    the initial 10^12-file regime) must produce a search-identical index
+    to the broadcast fast path over the same corpus: same docstore,
+    bit-identical scores."""
+    import dataclasses
+
+    from mysql2es_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(spark, 120, snap_ordinal=0)
+    fast_root = str(tmp_path / "fast")
+    mega_root = str(tmp_path / "mega")
+    full_build(spark, corpus, fast_root, TEST_CFG, snapshot_id=1)
+    full_build(
+        spark, corpus, mega_root,
+        dataclasses.replace(TEST_CFG, broadcast_id_threshold=0),
+        snapshot_id=1,
+    )
+    fast = SearchIndex(spark, fast_root)
+    mega = SearchIndex(spark, mega_root)
+    assert fast.manifest.n_docs_total == mega.manifest.n_docs_total
+    fstore = {(r["doc_key"], r["doc_id"], r["dl"], r["content_sha"])
+              for r in fast.docstore().collect()}
+    mstore = {(r["doc_key"], r["doc_id"], r["dl"], r["content_sha"])
+              for r in mega.docstore().collect()}
+    assert fstore == mstore  # deterministic ids => identical stores
+    for q in ["import return", "getUserName parse", "scan byte path"]:
+        a = [(r["doc_id"], r["score"]) for r in fast.search(q, 10).collect()]
+        b = [(r["doc_id"], r["score"]) for r in mega.search(q, 10).collect()]
+        assert a == b and a, q
