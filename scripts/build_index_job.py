@@ -41,6 +41,7 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="build_index_job")
     ap.add_argument("mode", choices=[
         "full", "sync", "compensate", "compact", "search", "daemon",
+        "ann-build", "ann-search",
     ])
     ap.add_argument("--log-root", help="snapshot-log root (corpus source)")
     ap.add_argument("--index-root", required=True)
@@ -60,6 +61,32 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--lang")
     ap.add_argument("--repo")
     ap.add_argument("--exact", action="store_true")
+    ap.add_argument("--field", help="search mode: analyzed text field of "
+                                    "a multi-field index")
+    ap.add_argument("--where", help="search mode: arbitrary doc-store "
+                                    "SQL predicate")
+    ap.add_argument("--template-bucket",
+                    help="search mode: physically-routed time bucket")
+    ap.add_argument("--version-column",
+                    help="full/sync: user-declared id-/time-typed version "
+                         "column (default: snapshot id)")
+    ap.add_argument("--min-tombstone-ratio", type=float, default=None,
+                    help="compact: tiered mode — only merge segments at "
+                         "or above this tombstone ratio")
+    ap.add_argument("--max-segments", type=int, default=None,
+                    help="compact: tiered mode — bound the post-compact "
+                         "segment count")
+    ap.add_argument("--vectors",
+                    help="ann-build: parquet of (vec-id-col, vec-col) rows")
+    ap.add_argument("--vec-col", default="embedding")
+    ap.add_argument("--vec-id-col", default="vec_id")
+    ap.add_argument("--nbits", type=int, default=6)
+    ap.add_argument("--n-centroids", type=int, default=16)
+    ap.add_argument("--query-vec",
+                    help="ann-search: JSON array of floats")
+    ap.add_argument("--ann-mode", choices=["lsh", "ivf"], default="lsh")
+    ap.add_argument("--multiprobe", type=int, default=2)
+    ap.add_argument("--nprobe", type=int, default=4)
     ap.add_argument("--max-ticks", type=int, default=0,
                     help="daemon mode: stop after N ticks (0 = forever)")
     args = ap.parse_args(argv)
@@ -90,10 +117,11 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     if args.mode == "search":
-        idx = SearchIndex(spark, args.index_root)
+        idx = SearchIndex(spark, args.index_root, cfg)
         rows = idx.search(
             args.query or "", k=args.k, lang=args.lang, repo=args.repo,
-            exact=args.exact,
+            exact=args.exact, where=args.where, field=args.field,
+            template_bucket=args.template_bucket,
         ).collect()
         for r in rows:
             print(json.dumps(
@@ -103,8 +131,45 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.mode == "compact":
-        m = compact(spark, args.index_root, cfg)
-        print(json.dumps({"version": m.version, "n_docs": m.n_docs_total}))
+        m = compact(spark, args.index_root, cfg,
+                    min_tombstone_ratio=args.min_tombstone_ratio,
+                    max_segments=args.max_segments)
+        print(json.dumps({"version": m.version, "n_docs": m.n_docs_total,
+                          "n_segments": len(m.segments)}))
+        return 0
+
+    if args.mode == "ann-build":
+        from mysql2es_spark.operators.ann_index import build_ann_index
+
+        if not args.vectors:
+            ap.error("--vectors required for ann-build")
+        from pyspark.sql import functions as F
+
+        vecs = spark.read.parquet(args.vectors).select(
+            F.col(args.vec_id_col),
+            F.col(args.vec_col).cast("array<double>").alias(args.vec_col),
+        )
+        meta = build_ann_index(
+            spark, vecs, args.vec_col, args.vec_id_col, args.index_root,
+            nbits=args.nbits, n_centroids=args.n_centroids,
+        )
+        print(json.dumps({"dim": meta["dim"], "nbits": meta["nbits"],
+                          "n_centroids": meta["n_centroids"]}))
+        return 0
+
+    if args.mode == "ann-search":
+        from mysql2es_spark.operators.ann_index import AnnIndex
+
+        if not args.query_vec:
+            ap.error("--query-vec required for ann-search")
+        qv = [float(x) for x in json.loads(args.query_vec)]
+        idx = AnnIndex(spark, args.index_root)
+        if args.ann_mode == "lsh":
+            top = idx.lsh_topk(qv, k=args.k, multiprobe=args.multiprobe)
+        else:
+            top = idx.ivf_topk(qv, k=args.k, nprobe=args.nprobe)
+        for r in top.collect():
+            print(json.dumps({"id": r[0], "cosine": r["cosine"]}))
         return 0
 
     if not args.log_root:
@@ -115,9 +180,11 @@ def main(argv: list[str] | None = None) -> int:
         m = full_build(
             spark, log.read_all(spark), args.index_root, cfg,
             snapshot_id=log.current_snapshot_id(),
+            version_column=args.version_column,
         )
     elif args.mode == "sync":
-        m = incremental_build(spark, log, args.index_root, cfg)
+        m = incremental_build(spark, log, args.index_root, cfg,
+                              version_column=args.version_column)
     elif args.mode == "compensate":
         m = compensate(
             spark, log, args.index_root, cfg,
