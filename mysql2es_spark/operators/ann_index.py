@@ -261,6 +261,15 @@ class AnnIndex:
             query_vec, k,
         )
 
+    def brute_topk(self, query_vec: list[float], k: int = 10) -> DataFrame:
+        """Exact cosine top-k over the WHOLE layout (every partition) —
+        the ground-truth baseline for measuring the probed paths'
+        recall on the same stored vectors."""
+        return brute_force_cosine_topk(
+            self._read(self.partition_paths()), self.meta["vec_col"],
+            self.meta["id_col"], query_vec, k,
+        )
+
     def scan_fraction(self, paths: list[str]) -> float:
         """Probed fraction of the layout by partition count (bench
         evidence that the query is sublinear)."""

@@ -194,6 +194,18 @@ def test_ann_layout_via_hadoop_api(spark, clustered, tmp_path, monkeypatch):
     assert got_ivf and got_ivf[0] == 0
 
 
+def test_brute_topk_is_ground_truth(spark, clustered, ann_root):
+    """AnnIndex.brute_topk over the whole layout == numpy brute force
+    over the source vectors (the recall-measurement baseline)."""
+    idx = AnnIndex(spark, ann_root)
+    pdf = clustered.toPandas()
+    q = np.array(pdf[pdf.vec_id == 513].emb.iloc[0])
+    expect = _brute(pdf, q, k=5)
+    got = [int(r["vec_id"])
+           for r in idx.brute_topk([float(x) for x in q], k=5).collect()]
+    assert got == expect
+
+
 def test_layout_roundtrip_and_meta(spark, clustered, ann_root):
     idx = AnnIndex(spark, ann_root)
     # every row landed in exactly one leaf; ids survive the roundtrip
