@@ -140,9 +140,11 @@ def tokenize_to_tf_sha(df, content_col: str = "content",
     doc_key for the too-big-to-broadcast id maps of initial mega-builds.
 
     ``extra_cols`` are columns replicated onto every output row — the
-    mega-build path carries ``version`` (and the ``commit`` replay
-    tiebreaker) through so the id join can qualify on
-    (doc_key, version, commit) and drop superseded replays.  Each extra
+    mega-build path carries ``version`` (plus the ``version_tiebreak``
+    column, e.g. ``commit``, when the index declares one) through so
+    the id join can qualify on (doc_key, version[, tiebreak]) and drop
+    superseded replays (wired in ``build_segment``; without a declared
+    tiebreak the join qualifies on (doc_key, version) only).  Each extra
     defaults to ``long``; ``extra_types`` overrides per column
     (``"string"`` for commit).
 

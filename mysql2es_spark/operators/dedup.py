@@ -99,7 +99,19 @@ def minhash_lsh_candidates(
     est_jaccard = fraction of matching minhashes.  The self-join is
     per-(band, bucket) — the classic LSH trick that replaces the n^2
     pairwise comparison; hot buckets (boilerplate) are bounded by
-    ``spark.sql.adaptive.skewJoin`` at runtime."""
+    ``spark.sql.adaptive.skewJoin`` at runtime.
+
+    ``sig`` feeds THREE subtrees of the returned plan (the banding
+    self-join and both est-jaccard join-backs); without materialization
+    Spark may recompute the shingle explode + k-min aggregation — the
+    expensive phase — up to three times (exchange reuse is not
+    guaranteed across the aliased self-join).  We therefore
+    ``localCheckpoint`` the k-longs-per-doc signature once (eager), so
+    shingling runs exactly once per call and all three subtrees read
+    the materialized partitions.  The checkpoint is k longs per doc —
+    at 100 TB of *text* this is ~0.05% of input size, well within
+    executor storage."""
+    sig = sig.localCheckpoint(eager=True)
     rows_per_band = k // bands
     band_cols = [
         F.xxhash64(
@@ -304,7 +316,7 @@ def simhash_candidates(
 
 
 def connected_components(
-    pairs: DataFrame, a: str = "a", b: str = "b", max_iter: int = 20
+    pairs: DataFrame, a: str = "a", b: str = "b", max_iter: int | None = None
 ) -> DataFrame:
     """(id, component) from an undirected near-dup pair set — the step
     after candidate verification in every dedup pipeline: pairs say
@@ -314,13 +326,17 @@ def connected_components(
     own id; each round a node takes the min label over itself and its
     neighbors; stop when no label changes.  Rounds = graph diameter —
     near-dup groups are dense (LSH+verify emits most intra-group
-    pairs), so 2-3 rounds in practice; ``max_iter`` bounds adversarial
-    chains.  Per round: ONE shuffle (edge-label join + min agg);
-    ``localCheckpoint`` cuts the growing lineage so round N's plan does
-    not replay rounds 1..N-1.  At 100 TB the state is one (id, label)
-    row per PAIRED doc (unpaired docs never enter), edges are the pair
-    set x2 — both shuffle-partitioned, nothing driver-side but the
-    convergence counter."""
+    pairs), so 2-3 rounds in practice — and the loop ALWAYS runs to
+    convergence: a truncated propagation silently splits long chains
+    into multiple "components", which is a wrong answer, not an
+    approximation.  ``max_iter`` (opt-in) is a hard safety bound; if it
+    is hit before convergence the function raises rather than return
+    wrong components.  Per round: ONE shuffle (edge-label join + min
+    agg); ``localCheckpoint`` cuts the growing lineage so round N's
+    plan does not replay rounds 1..N-1.  At 100 TB the state is one
+    (id, label) row per PAIRED doc (unpaired docs never enter), edges
+    are the pair set x2 — both shuffle-partitioned, nothing driver-side
+    but the convergence counter."""
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionByName(
@@ -334,7 +350,8 @@ def connected_components(
         .withColumn("component", F.col("id"))
     )
     labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    rounds = 0
+    while True:
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
@@ -360,8 +377,16 @@ def connected_components(
             .count()
         )
         labels = new_labels
+        rounds += 1
         if changed == 0:
             break
+        if max_iter is not None and rounds >= max_iter:
+            raise RuntimeError(
+                f"connected_components did not converge within "
+                f"max_iter={max_iter} rounds; the graph has a chain "
+                f"longer than the bound — returning here would silently "
+                f"split real components"
+            )
     return labels
 
 

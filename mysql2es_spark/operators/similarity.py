@@ -276,6 +276,11 @@ def embedding_near_dup_pairs(
     # path keeps the map-side shape (vectors never reshuffled, one
     # Exchange per side); the large path degrades to shuffled joins —
     # slower, but it completes instead of OOMing the driver.
+    # The gate's count() would otherwise execute the full scan + band
+    # exchange + distinct a SECOND time when the join runs (ADVICE r4):
+    # materialize the ids-only pair set once (two longs per row) so
+    # candidate generation happens exactly once per call.
+    cand = cand.localCheckpoint(eager=True)
     n_cand = cand.count()
     maybe_broadcast = F.broadcast if n_cand <= broadcast_pair_limit else (
         lambda d: d

@@ -118,6 +118,7 @@ def build_segment(
     template_bucket: str | None = None,
     text_fields: dict[str, str] | None = None,
     version_column: str | None = None,
+    version_tiebreak: str | None = None,
 ) -> SegmentMeta:
     """Tokenize + index one batch of corpus rows into a new segment.
 
@@ -150,6 +151,14 @@ def build_segment(
     ``version-column``/``version-check`` contract, README-EN.org:
     122-123); timestamps cast to epoch seconds.  Default: the snapshot
     id — strictly increasing per sync, the reference's increment value.
+
+    ``version_tiebreak`` (ADVICE r3/r4) names a secondary column (e.g.
+    ``commit``) that deterministically orders rows sharing (doc_key,
+    version): the id map picks one winner by (version desc, tiebreak
+    desc) and BOTH id joins qualify on the tiebreak too, so the row
+    whose content lands in the docstore is the same row whose postings
+    get indexed even when a replay violates the same-version-implies-
+    same-bytes contract.
     """
     seg_dir = os.path.join(root, "segments", seg_name)
     doc_path = os.path.join(seg_dir, "docstore")
@@ -183,13 +192,15 @@ def build_segment(
         # shuffle itself) and carries the winning version out, so the
         # (doc_key, version)-qualified joins below drop superseded rows
         # before tokenize output is consumed.
-        keys_src = df.select("doc_key", "version")
+        tb: tuple[str, ...] = (version_tiebreak,) if version_tiebreak else ()
+        keys_src = df.select("doc_key", "version", *tb)
         if key_filter is not None:
             keys_src = keys_src.join(
                 key_filter.select("doc_key"), "doc_key", "left_semi"
             )
         ids, n_docs = build_doc_id_map(
-            keys_src, base, cfg, carry=("version",), latest_by="version"
+            keys_src, base, cfg, carry=("version",) + tb,
+            latest_by="version", tiebreak=version_tiebreak,
         )
         # per-field analysis (README-EN.org:188-241): one fused Arrow
         # pass per text field over its pruned (key, field) scan, unioned
@@ -224,7 +235,9 @@ def build_segment(
             # by the dense int64 doc_id.  Every downstream row carries an
             # 8-byte key instead of a repeated doc_key string — measured
             # ~3x faster at 100k docs / 32 threads.
-            with_ids = df.join(F.broadcast(ids), ["doc_key", "version"])
+            with_ids = df.join(
+                F.broadcast(ids), ["doc_key", "version", *tb]
+            )
             rows_src = _tok(with_ids, key_col="doc_id", key_type="long")
             store_src = with_ids.drop(*[f for f, _ in fields])
             meta_key = "doc_id"
@@ -233,9 +246,14 @@ def build_segment(
             # mega-build path (id map too big to broadcast): tokenize
             # keyed by doc_key (version rides along); the compact tf rows
             # — never content — hash-shuffle into the id join
+            tb_types = (
+                {version_tiebreak: dict(df.dtypes)[version_tiebreak]}
+                if version_tiebreak else None
+            )
             rows_src = (
-                _tok(df, extra_cols=("version",))
-                .join(ids, ["doc_key", "version"])  # inner: key_filter
+                _tok(df, extra_cols=("version",) + tb,
+                     extra_types=tb_types)
+                .join(ids, ["doc_key", "version", *tb])  # inner: key_filter
                 # losers AND superseded replays drop here
                 .withColumn(
                     "doc_key",
@@ -244,7 +262,7 @@ def build_segment(
             )
             store_src = df.drop(*[f for f, _ in fields])
             meta_key = "doc_key"
-            meta_join = ["doc_key", "version"]
+            meta_join = ["doc_key", "version", *tb]
         t0 = time.time()
         # materialize the tokenize output ONCE as a parquet spill (read
         # back by the docstore + postings consumers, removed afterwards).
@@ -470,13 +488,14 @@ def full_build(
     snapshot_id: int | None = None,
     text_fields: dict[str, str] | None = None,
     version_column: str | None = None,
+    version_tiebreak: str | None = None,
 ) -> Manifest:
     cfg = cfg or IndexConfig()
     lineage = LineageStore(root)
     meta = build_segment(
         spark, corpus_df, root, "seg-000001", cfg, base=0,
         snapshot_id=snapshot_id, lineage=lineage, text_fields=text_fields,
-        version_column=version_column,
+        version_column=version_column, version_tiebreak=version_tiebreak,
     )
     m = Manifest(
         version=1,
@@ -494,6 +513,7 @@ def full_build(
         ),
         text_fields=text_fields,
         version_column=version_column,
+        version_tiebreak=version_tiebreak,
     )
     publish(root, m)
     return m
@@ -509,6 +529,7 @@ def template_routed_build(
     snapshot_id: int | None = None,
     text_fields: dict[str, str] | None = None,
     version_column: str | None = None,
+    version_tiebreak: str | None = None,
 ) -> Manifest:
     """Physically time-partitioned index build (README-EN.org:124-127,
     261-297): rows are routed to one segment per ``template_pattern``
@@ -580,6 +601,7 @@ def template_routed_build(
             template_bucket=b,
             text_fields=text_fields,
             version_column=version_column,
+            version_tiebreak=version_tiebreak,
         )
         segments.append(meta)
         base = _round_up(meta.max_doc_id + 1, cfg.chunk_span)
@@ -600,6 +622,7 @@ def template_routed_build(
         ),
         text_fields=text_fields,
         version_column=version_column,
+        version_tiebreak=version_tiebreak,
     )
     publish(root, m)
     fs.delete(spill)
@@ -628,6 +651,7 @@ def incremental_build(
     up_to: int | None = None,
     min_commit_ts: int | None = None,
     version_column: str | None = None,
+    version_tiebreak: str | None = None,
 ) -> Manifest:
     """Sync new snapshots into the index (the reference's E1 main loop).
 
@@ -652,7 +676,7 @@ def incremental_build(
         snaps = [s.id for s in log.snapshots() if up_to is None or s.id <= up_to]
         return full_build(
             spark, df, root, cfg, snapshot_id=max(snaps) if snaps else None,
-            version_column=version_column,
+            version_column=version_column, version_tiebreak=version_tiebreak,
         )
 
     if min_commit_ts is not None:
@@ -677,6 +701,7 @@ def apply_delta(
     cfg: IndexConfig,
     target_snap: int | None,
     version_column: str | None = None,
+    version_tiebreak: str | None = None,
 ) -> Manifest:
     """Idempotently upsert a batch of corpus rows into an existing index.
 
@@ -688,11 +713,13 @@ def apply_delta(
     m = load_current(root)
     if m is None:
         return full_build(spark, new_df, root, cfg, snapshot_id=target_snap,
-                          version_column=version_column)
+                          version_column=version_column,
+                          version_tiebreak=version_tiebreak)
     lineage = LineageStore(root)
     # an existing index's declared version column wins over the argument
     # (the knob is per-index config, not per-delta)
     version_column = m.version_column
+    version_tiebreak = m.version_tiebreak
     # streaming micro-batches pass target_snap=None (rows carry their own
     # snapshot_id); preserve the batch checkpoint instead of resetting it
     # to null, which would force the next batch sync to re-read the whole
@@ -759,6 +786,7 @@ def apply_delta(
                 template_bucket=b,
                 text_fields=m.text_fields,
                 version_column=version_column,
+                version_tiebreak=version_tiebreak,
             )
             new_metas.append(meta)
             base = _round_up(meta.max_doc_id + 1, cfg.chunk_span)
@@ -768,6 +796,7 @@ def apply_delta(
             snapshot_id=target_snap, lineage=lineage, key_filter=keep,
             text_fields=m.text_fields,
             version_column=version_column,
+            version_tiebreak=version_tiebreak,
         )
         new_metas = [meta]
         base = _round_up(meta.max_doc_id + 1, cfg.chunk_span)
@@ -866,6 +895,7 @@ def apply_delta(
         schema=m.schema,
         text_fields=m.text_fields,
         version_column=m.version_column,
+        version_tiebreak=m.version_tiebreak,
     )
     publish(root, m2)
     return m2
@@ -1610,6 +1640,7 @@ def compact(
         schema=m.schema,
         text_fields=m.text_fields,
         version_column=m.version_column,
+        version_tiebreak=m.version_tiebreak,
     )
     publish(root, m2)
     return m2

@@ -72,6 +72,16 @@ class Manifest:
                                        # knob, README-EN.org:122-123) —
                                        # any id- or time-typed column;
                                        # None == snapshot_id (default)
+    version_tiebreak: str | None = None
+                                       # optional secondary order column
+                                       # (e.g. `commit`) breaking ties
+                                       # among rows sharing (doc_key,
+                                       # version): the id map's winner,
+                                       # the docstore row, and the
+                                       # indexed postings then agree on
+                                       # ONE row even under replays that
+                                       # violate the same-version-same-
+                                       # bytes contract (ADVICE r3/r4)
 
     @property
     def n_docs_total(self) -> int:

@@ -190,7 +190,10 @@ class HadoopFS:
             # would see ghost files accumulate
             try:
                 self._fs.delete(self._Path(tmp), False)
-            finally:
+            except Exception:
+                # swallow the cleanup failure so the ORIGINAL rename
+                # exception propagates (try/finally would let a delete
+                # error replace it)
                 pass
             raise
 

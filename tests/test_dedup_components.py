@@ -54,3 +54,22 @@ def test_dedup_canonical_empty_pairs(spark):
     empty = _pairs(spark, [])
     kept = DD.dedup_canonical(docs, empty, "doc_id")
     assert kept.count() == 5
+
+
+def test_components_chain_longer_than_old_default(spark):
+    """ADVICE r4 (medium): a 30-node chain exceeded the old max_iter=20
+    truncation and silently returned 10 'components'.  The loop now runs
+    to convergence by default — one component, always."""
+    chain = [(i, i + 1) for i in range(1, 30)]  # 30 nodes, diameter 29
+    got = _comp_map(DD.connected_components(_pairs(spark, chain)))
+    assert set(got.values()) == {1} and len(got) == 30
+
+
+def test_components_max_iter_raises_not_truncates(spark):
+    """An explicit max_iter that is too small must RAISE, never return
+    wrong (split) components."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(1, 12)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.connected_components(_pairs(spark, chain), max_iter=2)
