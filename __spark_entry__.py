@@ -605,6 +605,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
     q["ann_ivf_topk"] = ann_ivf_topk
 
+    def ann_cross_topk(spark, sf):
+        # best-first (bucket, cell) leaf probing under an explicit scan
+        # budget — the r5 recommended indexed path: measured recall
+        # 0.825 @ 0.35 scan on these near-random embeddings vs 0.600 @
+        # 0.344 for flip-count bucket probing (BENCH.md)
+        from mysql2es_spark.operators.ann_index import AnnIndex
+
+        idx = AnnIndex(spark, _ann_index_root(spark, sf))
+        top = idx.cross_topk(_qvec(spark, sf), k=10)
+        return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+    q["ann_cross_topk"] = ann_cross_topk
+
+    def ann_delete_lifecycle(spark, sf):
+        # the ANN layout's tombstone -> compact lifecycle under the
+        # driver harness (VERDICT r4 missing #1): vectors deleted from
+        # the layout never surface from any probe path, before OR after
+        # the physical rewrite.  Rows-only: the layout is not
+        # SQL-expressible.  Builds its own small layout so the shared
+        # cached root stays pristine for the other ANN entries.
+        from mysql2es_spark.operators.ann_index import (
+            AnnIndex, build_ann_index, compact_ann_index,
+            delete_from_ann_index,
+        )
+
+        e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 2000)
+        cand = e.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        root = tempfile.mkdtemp(prefix="m2es_anndel_")
+        build_ann_index(spark, cand, "emb", "vec_id", root, n_centroids=8)
+        qv = _qvec(spark, sf)
+        idx = AnnIndex(spark, root)
+        before = {int(r["vec_id"])
+                  for r in idx.cross_topk(qv, k=10).collect()}
+        dead = sorted(before)[:5]
+        delete_from_ann_index(spark, root, dead)
+        idx.refresh()
+        mid = {int(r["vec_id"]) for r in idx.cross_topk(qv, k=10).collect()}
+        assert not (mid & set(dead)), "tombstoned vectors surfaced"
+        compact_ann_index(spark, root)
+        idx.refresh()
+        top = idx.cross_topk(qv, k=10)
+        out = top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+        assert not ({int(r["vec_id"]) for r in out.collect()} & set(dead))
+        return out
+    q["ann_delete_lifecycle"] = ann_delete_lifecycle
+
     def embedding_near_dup(spark, sf):
         # banded hyperplane LSH candidates + exact-cosine verify (rows
         # only: the hyperplane signatures have no SQL twin)
@@ -742,6 +789,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(20)
         )
     q["compaction_lifecycle"] = compaction_lifecycle
+
+    def llm_pipeline(spark, sf):
+        # the COMPLETE training-data pipeline end-to-end (VERDICT r4
+        # next-round #7): exact dedup -> MinHash LSH near-dup pairs ->
+        # connected components -> canonical filter -> index build over
+        # the survivors -> BM25 search.  Rows-only: the index build has
+        # no SQL twin; every stage is individually oracle-checked by
+        # its own driver entry (dedup_exact, dedup_clusters,
+        # dedup_canonical, topk_exact).
+        from mysql2es_spark.operators.dedup import (
+            dedup_canonical, exact_dedup, minhash_lsh_candidates,
+            minhash_signature,
+        )
+        from mysql2es_spark.operators.index import IndexConfig
+        from mysql2es_spark.plans.build import SearchIndex, full_build
+
+        docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
+
+        # 1. exact dedup: lowest-id representative per content hash
+        reps = exact_dedup(docs, "text", "doc_id").select("doc_id")
+        survivors = docs.join(reps, "doc_id", "left_semi")
+
+        # 2-4. near-dup: signatures -> banded candidates (est_jaccard
+        # verified) -> components -> one canonical doc per cluster
+        sig = minhash_signature(survivors, "text", "doc_id", k=32)
+        pairs = minhash_lsh_candidates(sig, "doc_id", k=32, bands=8) \
+            .filter(F.col("est_jaccard") >= 0.8)
+        clean = dedup_canonical(survivors, pairs, "doc_id")
+
+        # 5. index the deduplicated corpus + search it
+        cfg = IndexConfig(n_buckets=8, block_size=64, salt_threshold=500,
+                          n_salts=4, chunk_span=512, id_partitions=8)
+        root = tempfile.mkdtemp(prefix="m2es_llmpipe_")
+        corpus = clean.select(
+            F.concat(F.lit("src/"), F.col("source")).alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string"),
+                     F.lit(".txt")).alias("path"),
+            F.sha2(F.col("text"), 256).substr(1, 12).alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+        )
+        full_build(spark, corpus, root, cfg, snapshot_id=1)
+        hits = SearchIndex(spark, root, cfg).search(
+            "model training data quality", k=20, exact=True
+        )
+        return (
+            hits.select(
+                F.regexp_extract("path", r"doc/(\d+)\.txt", 1)
+                .cast("long").alias("doc_id"),
+                F.round("score", 6).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(20)
+        )
+    q["llm_pipeline"] = llm_pipeline
 
     def rolling_fp(spark, sf):
         d = _t(spark, sf, "documents")

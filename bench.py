@@ -223,6 +223,7 @@ def _ann_recall(spark, n_queries: int = 12) -> dict:
         qids = ids[:: max(1, len(ids) // n_queries)][:n_queries]
         nprobes = (2, 4, 8)
         r_lsh, f_lsh = [], []
+        r_cross, f_cross = [], []
         r_ivf = {np_: [] for np_ in nprobes}
         f_ivf = {np_: [] for np_ in nprobes}
         for qid in qids:
@@ -239,6 +240,15 @@ def _ann_recall(spark, n_queries: int = 12) -> dict:
                 len(idx.partition_paths(buckets=idx.lsh_probes(q)))
                 / total_parts
             )
+            # best-first leaf probing under an explicit scan budget
+            # (the r5 recommended indexed path)
+            got = [int(r["vec_id"])
+                   for r in idx.cross_topk(q, k=11).collect()
+                   if int(r["vec_id"]) != int(qid)][:10]
+            r_cross.append(len(true10 & set(got)) / 10)
+            f_cross.append(
+                len(idx.cross_probe_paths(q)) / total_parts
+            )
             for np_ in nprobes:
                 got = [int(r["vec_id"])
                        for r in idx.ivf_topk(q, k=11, nprobe=np_).collect()
@@ -251,6 +261,8 @@ def _ann_recall(spark, n_queries: int = 12) -> dict:
         out = {
             "ann_build": t_build,
             "ann_lsh_recall10": round(float(np.mean(r_lsh)), 3),
+            "ann_cross_recall10": round(float(np.mean(r_cross)), 3),
+            "ann_cross_scanfrac": round(float(np.mean(f_cross)), 3),
             "ann_lsh_scanfrac": round(float(np.mean(f_lsh)), 3),
             "ann_ivf_recall10": round(float(np.mean(r_ivf[4])), 3),
             "ann_ivf_scanfrac": round(float(np.mean(f_ivf[4])), 3),

@@ -429,7 +429,7 @@ class AnnIndex:
         self,
         query_vec: list[float],
         scan_fraction: float = 0.35,
-        alpha: float = 1.0,
+        alpha: float = 2.0,
     ) -> list[str]:
         """The most promising LEAVES under an explicit scan budget.
 
@@ -500,7 +500,7 @@ class AnnIndex:
         query_vec: list[float],
         k: int = 10,
         scan_fraction: float = 0.35,
-        alpha: float = 1.0,
+        alpha: float = 2.0,
     ) -> DataFrame:
         """Best-first leaf-probed ANN under an explicit scan budget —
         the recommended indexed query path (see ``cross_probe_paths``)."""
