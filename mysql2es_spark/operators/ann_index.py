@@ -140,6 +140,11 @@ def build_ann_index(
         F.col(id_col),
         F.col(vec_col),
         *[F.col(c) for c in extra_cols],
+        # generation stamp: appends carry higher generations, and a
+        # delete records a generation CUTOFF — so delete-then-append
+        # (upsert) resurrects the id with the new vector while the old
+        # rows stay dead (README-EN.org:78-79 idempotent-id contract)
+        F.lit(1).alias("_gen"),
         lsh_signature(F.col(vec_col), planes).alias("lsh_bucket"),
         ivf_assign(F.col(vec_col), cents).alias("ivf_cell"),
     )
@@ -156,6 +161,7 @@ def build_ann_index(
         "extra_cols": list(extra_cols),
         "data_dir": _DATA,
         "write_salts": write_salts,
+        "gen": 1,
         "planes": planes,
         "centroids": cents,
     }
@@ -188,10 +194,12 @@ def append_ann_index(
     fs = get_fs(root, spark)
     meta = _load_meta(fs, root)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
+    gen = int(meta.get("gen", 1)) + 1
     keyed = df.select(
         F.col(id_col),
         F.col(vec_col),
         *[F.col(c) for c in meta.get("extra_cols", [])],
+        F.lit(gen).alias("_gen"),
         lsh_signature(F.col(vec_col), meta["planes"]).alias("lsh_bucket"),
         ivf_assign(F.col(vec_col), meta["centroids"]).alias("ivf_cell"),
     )
@@ -199,6 +207,8 @@ def append_ann_index(
         keyed, id_col, os.path.join(root, meta.get("data_dir", _DATA)),
         "append", int(meta.get("write_salts", 4)), 1 << 20,
     )
+    meta["gen"] = gen
+    fs.write_text_atomic(os.path.join(root, _META), json.dumps(meta))
     return meta
 
 
@@ -208,14 +218,16 @@ def delete_from_ann_index(spark: SparkSession, root: str, ids) -> dict:
     reference's idempotent upsert contract, README-EN.org:78-79).
 
     ``ids`` is a DataFrame whose first column (or the layout's id
-    column, if present) holds the ids, or a plain Python list.  The set
-    is APPENDED to an ids-only ``deletes`` parquet — no data files are
+    column, if present) holds the ids, or a plain Python list.  Each
+    delete row records the layout's CURRENT generation as a cutoff and
+    is APPENDED to a narrow ``deletes`` parquet — no data files are
     touched, so a delete is O(delta), and every ``AnnIndex`` query
-    anti-joins the set so tombstoned vectors never surface.
-    ``compact_ann_index`` later drops the rows physically and clears
-    the set.  Re-inserting an id goes through delete + append (upsert):
-    queries see only the ids NOT in the delete set, and compaction
-    makes it physical."""
+    drops rows whose (id, stored generation <= cutoff) matches, so
+    tombstoned vectors never surface.  Because ``append_ann_index``
+    stamps a HIGHER generation, delete-then-append upserts an id: the
+    new vector is live immediately while every older row of that id
+    stays dead.  ``compact_ann_index`` later drops dead rows physically
+    and clears the set."""
     from ..sources.fs import get_fs
 
     fs = get_fs(root, spark)
@@ -227,8 +239,23 @@ def delete_from_ann_index(spark: SparkSession, root: str, ids) -> dict:
     else:
         ids_df = spark.createDataFrame([(int(i),) for i in ids],
                                        f"{idc} long")
-    ids_df.write.mode("append").parquet(os.path.join(root, _DELETES))
+    cutoff = int(meta.get("gen", 1))
+    ids_df.withColumn("_del_gen", F.lit(cutoff)).write.mode(
+        "append").parquet(os.path.join(root, _DELETES))
     return meta
+
+
+def upsert_ann_index(spark: SparkSession, df: DataFrame, root: str) -> dict:
+    """Idempotent vector upsert: tombstone the incoming ids at the
+    current generation, then append the rows at the next — queries
+    immediately serve the NEW vector for every upserted id and never
+    the old one; ``compact_ann_index`` makes the supersession physical.
+    The ANN twin of the index's apply_delta contract."""
+    from ..sources.fs import get_fs
+
+    meta = _load_meta(get_fs(root, spark), root)
+    delete_from_ann_index(spark, root, df.select(meta["id_col"]))
+    return append_ann_index(spark, df, root)
 
 
 def compact_ann_index(
@@ -257,8 +284,7 @@ def compact_ann_index(
     dpath = os.path.join(root, _DELETES)
     has_deletes = fs.exists(dpath)
     if has_deletes:
-        dead = spark.read.parquet(dpath).select(idc).distinct()
-        df = df.join(dead, idc, "left_anti")
+        df = _drop_dead(spark, df, dpath, idc)
     m = re.search(r"-(\d+)$", old_dir)
     gen = int(m.group(1)) + 1 if m else 2
     new_dir = f"{_DATA}-{gen:06d}"
@@ -272,6 +298,27 @@ def compact_ann_index(
     if has_deletes:
         fs.delete(dpath)
     return meta
+
+
+def _drop_dead(spark: SparkSession, df: DataFrame, deletes_path: str,
+               idc: str) -> DataFrame:
+    """Drop rows tombstoned by the delete set: a row is dead when its
+    id was deleted at a cutoff generation >= the row's own stamp
+    (rows appended AFTER the delete carry a higher generation and
+    survive — the upsert semantics).  Legacy layouts without a _gen
+    column are treated as generation 0 (every delete applies)."""
+    raw = spark.read.parquet(deletes_path)
+    if "_del_gen" not in raw.columns:  # pre-generation delete sets
+        raw = raw.withColumn("_del_gen", F.lit(2**62))
+    dead = raw.groupBy(idc).agg(F.max("_del_gen").alias("_del_gen"))
+    gen_col = F.col("_gen") if "_gen" in df.columns else F.lit(0)
+    return (
+        df.withColumn("_row_gen", gen_col)
+        .join(dead, idc, "left")
+        .filter(F.col("_del_gen").isNull()
+                | (F.col("_row_gen") > F.col("_del_gen")))
+        .drop("_del_gen", "_row_gen")
+    )
 
 
 class AnnIndex:
@@ -307,8 +354,9 @@ class AnnIndex:
         )
         self._bucket_dirs: dict[int, str] | None = None
         self._cell_dirs: dict[int, list[tuple[int, str]]] = {}
-        self._deletes_df: DataFrame | None = None
         self._deletes_checked = False
+        self._deletes_present = False
+        self._deletes_path = ""
         return self
 
     # -- partition enumeration (cached; refresh() after layout mutation) --
@@ -347,17 +395,12 @@ class AnnIndex:
                 out.append(os.path.join(self._data, rel))
         return out
 
-    def _deletes(self) -> DataFrame | None:
+    def _has_deletes(self) -> bool:
         if not self._deletes_checked:
-            p = os.path.join(self.root, _DELETES)
-            self._deletes_df = (
-                self.spark.read.parquet(p).select(
-                    self.meta["id_col"]
-                ).distinct()
-                if self._fs.exists(p) else None
-            )
+            self._deletes_path = os.path.join(self.root, _DELETES)
+            self._deletes_present = self._fs.exists(self._deletes_path)
             self._deletes_checked = True
-        return self._deletes_df
+        return self._deletes_present
 
     def _read(self, paths: list[str]) -> DataFrame:
         id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
@@ -367,11 +410,11 @@ class AnnIndex:
                 [], f"{id_col} long, {vec_col} {vec_type}"
             )
         df = self.spark.read.parquet(*paths)
-        dead = self._deletes()
-        if dead is not None:
-            # ids-only anti-join; AQE broadcasts it while small.  At
-            # scale, compaction keeps this set bounded between rewrites.
-            df = df.join(dead, id_col, "left_anti")
+        if self._has_deletes():
+            # narrow (id, cutoff) join; AQE broadcasts it while small.
+            # At scale, compaction keeps the set bounded between
+            # rewrites.
+            df = _drop_dead(self.spark, df, self._deletes_path, id_col)
         return df
 
     # -- probe selection -------------------------------------------------

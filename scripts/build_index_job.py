@@ -41,7 +41,8 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="build_index_job")
     ap.add_argument("mode", choices=[
         "full", "sync", "compensate", "compact", "search", "daemon",
-        "ann-build", "ann-search",
+        "ann-build", "ann-search", "ann-upsert", "ann-delete",
+        "ann-compact",
     ])
     ap.add_argument("--log-root", help="snapshot-log root (corpus source)")
     ap.add_argument("--index-root", required=True)
@@ -84,9 +85,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--n-centroids", type=int, default=16)
     ap.add_argument("--query-vec",
                     help="ann-search: JSON array of floats")
-    ap.add_argument("--ann-mode", choices=["lsh", "ivf"], default="lsh")
+    ap.add_argument("--ann-mode", choices=["lsh", "ivf", "cross"],
+                    default="cross")
     ap.add_argument("--multiprobe", type=int, default=2)
     ap.add_argument("--nprobe", type=int, default=4)
+    ap.add_argument("--scan-fraction", type=float, default=0.35,
+                    help="ann-search cross mode: leaf-probe budget")
+    ap.add_argument("--delete-ids",
+                    help="ann-delete: JSON array of vector ids")
     ap.add_argument("--max-ticks", type=int, default=0,
                     help="daemon mode: stop after N ticks (0 = forever)")
     args = ap.parse_args(argv)
@@ -166,10 +172,47 @@ def main(argv: list[str] | None = None) -> int:
         idx = AnnIndex(spark, args.index_root)
         if args.ann_mode == "lsh":
             top = idx.lsh_topk(qv, k=args.k, multiprobe=args.multiprobe)
-        else:
+        elif args.ann_mode == "ivf":
             top = idx.ivf_topk(qv, k=args.k, nprobe=args.nprobe)
+        else:
+            top = idx.cross_topk(qv, k=args.k,
+                                 scan_fraction=args.scan_fraction)
         for r in top.collect():
             print(json.dumps({"id": r[0], "cosine": r["cosine"]}))
+        return 0
+
+    if args.mode == "ann-upsert":
+        from mysql2es_spark.operators.ann_index import upsert_ann_index
+
+        if not args.vectors:
+            ap.error("--vectors required for ann-upsert")
+        from pyspark.sql import functions as F
+
+        vecs = spark.read.parquet(args.vectors).select(
+            F.col(args.vec_id_col),
+            F.col(args.vec_col).cast("array<double>").alias(args.vec_col),
+        )
+        meta = upsert_ann_index(spark, vecs, args.index_root)
+        print(json.dumps({"gen": meta.get("gen")}))
+        return 0
+
+    if args.mode == "ann-delete":
+        from mysql2es_spark.operators.ann_index import delete_from_ann_index
+
+        if not args.delete_ids:
+            ap.error("--delete-ids required for ann-delete")
+        meta = delete_from_ann_index(
+            spark, args.index_root,
+            [int(i) for i in json.loads(args.delete_ids)],
+        )
+        print(json.dumps({"deleted_at_gen": meta.get("gen", 1)}))
+        return 0
+
+    if args.mode == "ann-compact":
+        from mysql2es_spark.operators.ann_index import compact_ann_index
+
+        meta = compact_ann_index(spark, args.index_root)
+        print(json.dumps({"data_dir": meta["data_dir"]}))
         return 0
 
     if not args.log_root:

@@ -196,3 +196,40 @@ def test_empty_probe_schema_from_meta(spark, tmp_path):
     assert idx.meta["vec_type"] == "array<float>"
     empty = idx._read([])
     assert dict(empty.dtypes)["emb"] == "array<float>"
+
+
+def test_upsert_resurrects_id_with_new_vector(spark, tmp_path):
+    """delete-then-append (upsert_ann_index) must serve the NEW vector
+    for an upserted id immediately — the generation cutoff kills only
+    rows older than the delete, never the re-appended ones — and
+    compaction keeps exactly the live rows."""
+    from mysql2es_spark.operators.ann_index import upsert_ann_index
+
+    docs = _clustered(spark, n_clusters=4, per_cluster=30)
+    root = str(tmp_path / "ann")
+    build_ann_index(spark, docs, "emb", "vec_id", root, n_centroids=4)
+    pdf = docs.toPandas()
+
+    # move vec 7 onto vec 100's position: the upserted vector must be
+    # found at its NEW location and absent from its old neighborhood
+    target = [float(x) for x in pdf[pdf.vec_id == 100].emb.iloc[0]]
+    moved = spark.createDataFrame([(7, target)],
+                                  "vec_id long, emb array<double>")
+    upsert_ann_index(spark, moved, root)
+
+    idx = AnnIndex(spark, root)
+    near_new = [int(r["vec_id"]) for r in idx.brute_topk(target, k=3).collect()]
+    assert set(near_new[:2]) == {7, 100}, near_new
+    old_q = [float(x) for x in pdf[pdf.vec_id == 7].emb.iloc[0]]
+    near_old = [int(r["vec_id"]) for r in idx.brute_topk(old_q, k=3).collect()]
+    assert near_old[0] != 7, near_old  # the OLD vector 7 is dead
+
+    # exactly one live row per id, before and after compaction
+    live = idx._read(idx.partition_paths())
+    assert live.count() == 120 and live.select("vec_id").distinct().count() == 120
+    compact_ann_index(spark, root)
+    idx.refresh()
+    assert not os.path.exists(os.path.join(root, "deletes"))
+    assert len(_all_ids(spark, idx)) == 120
+    near_new = [int(r["vec_id"]) for r in idx.brute_topk(target, k=3).collect()]
+    assert set(near_new[:2]) == {7, 100}

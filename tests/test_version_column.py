@@ -128,3 +128,52 @@ def test_default_unchanged_without_knob(spark, tmp_path):
     assert m.version_column is None
     row = SearchIndex(spark, root).docstore().collect()[0]
     assert int(row["version"]) == 7
+
+
+def test_version_tiebreak_picks_one_consistent_winner(spark, tmp_path):
+    """ADVICE r3/r4: two rows share (doc_key, version) with DIFFERENT
+    content (a replay violating same-version-same-bytes).  With
+    version_tiebreak='commit' the max-commit row must win in BOTH the
+    docstore and the postings — the searchable term is the winner's,
+    never the loser's."""
+    root = str(tmp_path / "idx")
+    m = full_build(
+        spark,
+        _df(spark, [
+            ("r0", "a.py", "c_aaa", "py", "loserterm body shared", 100, 1),
+            ("r0", "a.py", "c_zzz", "py", "winnerterm body shared", 100, 1),
+            ("r0", "b.py", "c_mid", "py", "betaterm stable", 100, 1),
+        ]),
+        root, TEST_CFG, snapshot_id=1,
+        version_column="mtime", version_tiebreak="commit",
+    )
+    assert m.version_tiebreak == "commit"
+    assert m.n_docs_total == 2  # one winner per doc_key
+    idx = SearchIndex(spark, root)
+    store = {r["path"]: r["commit"] for r in idx.docstore().collect()}
+    assert store["a.py"] == "c_zzz"
+    # postings agree with the docstore: the winner's term hits, the
+    # loser's does not
+    assert [r["path"] for r in idx.search("winnerterm", k=5,
+                                          exact=True).collect()] == ["a.py"]
+    assert idx.search("loserterm", k=5, exact=True).count() == 0
+
+
+def test_version_tiebreak_mega_path_matches(spark, tmp_path):
+    """The shuffle-join mega-build path must qualify its id join on the
+    tiebreak too (same winner as the broadcast path)."""
+    import mysql2es_spark.plans.build as B
+
+    rows = [("r0", f"f{i}.py", "c_aaa", "py",
+             f"tok{i} loserterm", 100, 1) for i in range(30)]
+    rows += [("r0", f"f{i}.py", "c_zzz", "py",
+              f"tok{i} winnerterm", 100, 1) for i in range(30)]
+    root = str(tmp_path / "idx")
+    cfg = TEST_CFG.__class__(**{**TEST_CFG.__dict__,
+                                "broadcast_id_threshold": 1})
+    full_build(spark, _df(spark, rows), root, cfg, snapshot_id=1,
+               version_column="mtime", version_tiebreak="commit")
+    idx = SearchIndex(spark, root, cfg)
+    assert idx.manifest.n_docs_total == 30
+    assert idx.search("loserterm", k=40, exact=True).count() == 0
+    assert idx.search("winnerterm", k=40, exact=True).count() == 30
