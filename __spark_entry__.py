@@ -550,6 +550,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
     q["embedding_cosine_topk"] = embedding_cosine_topk
 
+    def hybrid_rrf(spark, sf):
+        # hybrid lexical+vector retrieval: exact BM25 top-50 and exact
+        # cosine top-50 fused by reciprocal rank (operators.search.
+        # rrf_fuse, Cormack et al. 2009).  Ranks are assigned on
+        # round-6 scores with an id tiebreak so Spark and the DuckDB
+        # oracle fuse identical lists; the embeddings table shares the
+        # documents table's id space (vec_id == doc_id).
+        from mysql2es_spark.operators.search import rrf_fuse
+
+        bm = _bm25_simple_topk(spark, sf, _QUERY_TERMS, 50)
+        e = _t(spark, sf, "embeddings")
+        qvec = [
+            float(x)
+            for x in e.filter(F.col("vec_id") == 0).head()["embedding"]
+        ]
+        cand = e.filter(F.col("vec_id") > 0).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        # round-6 BEFORE the top-50 cut (same as the oracle): a
+        # boundary tie on rounded scores must resolve by id on both
+        # sides, not by the unrounded value on one of them
+        cos = (
+            cand.select(
+                F.col("vec_id").alias("doc_id"),
+                F.round(
+                    SIM.cosine(F.col("emb"), SIM._lit_vec(qvec)), 6
+                ).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), F.asc("doc_id"))
+            .limit(50)
+        )
+        return rrf_fuse(bm, cos, "doc_id", "score", "cosine", k=20)
+    q["hybrid_rrf"] = hybrid_rrf
+
     # ---- rows-only checks (no SQL twin: xxhash64 / index build / media) --
     def dedup_minhash(spark, sf):
         d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
@@ -1305,6 +1339,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, round(cosine, 6) AS cosine
         FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
     """
+
+    _bm50 = _bm25_sql(_QUERY_TERMS, 50).strip()
+    sql["hybrid_rrf"] = f"""
+WITH bm AS (
+  {_bm50}
+), qv AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), cos_scored AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_reduce(list_transform(list_zip(e.embedding::DOUBLE[], qv.qv),
+                                          x -> x[1] * x[2]),
+                           (acc, v) -> acc + v)
+               / (sqrt(list_reduce(list_transform(e.embedding::DOUBLE[], v -> v * v),
+                                   (acc, v) -> acc + v))
+                  * sqrt(list_reduce(list_transform(qv.qv, v -> v * v),
+                                     (acc, v) -> acc + v))), 6) AS cosine
+  FROM embeddings e CROSS JOIN qv
+  WHERE e.vec_id > 0
+), cos50 AS (
+  SELECT doc_id, cosine FROM cos_scored
+  ORDER BY cosine DESC, doc_id LIMIT 50
+), ra AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm
+), rb AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cosine DESC, doc_id) AS r FROM cos50
+), fused AS (
+  SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+         round(coalesce(1.0 / (60 + ra.r), 0.0)
+               + coalesce(1.0 / (60 + rb.r), 0.0), 6) AS rrf
+  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+)
+SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+"""
 
     _mf_toks = (
         "list_filter(string_split_regex(lower(concat_ws(' ', source, lang, "

@@ -294,3 +294,58 @@ def blockmax_topk(
         scored = postings.groupBy("chunk").applyInPandas(score, TOPK_SCHEMA)
 
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+    score_a: str,
+    score_b: str,
+    k: int = 20,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked result lists (Cormack et
+    al., SIGIR 2009 — the standard score-free way to combine lexical
+    and vector retrieval): fused(d) = 1/(c + rank_a(d)) +
+    1/(c + rank_b(d)), summed over the lists that contain d.
+
+    Ranks are assigned by (score desc, id asc) — the id tiebreak makes
+    fusion deterministic across partitionings and engines.  Inputs are
+    top-N lists (bounded by their own k), so the single-partition rank
+    window is driver-bounded BY CONSTRUCTION — this operator fuses
+    retrieval results, it does not rank a corpus.  At 100 TB the heavy
+    lifting (block-max BM25, partition-pruned ANN) happened upstream;
+    fusion touches 2N rows."""
+    from pyspark.sql import Window
+
+    ra = a.select(
+        F.col(id_col),
+        F.row_number().over(
+            Window.orderBy(F.desc(score_a), F.asc(id_col))
+        ).alias("_rank_a"),
+    )
+    rb = b.select(
+        F.col(id_col),
+        F.row_number().over(
+            Window.orderBy(F.desc(score_b), F.asc(id_col))
+        ).alias("_rank_b"),
+    )
+    fused = (
+        ra.join(rb, id_col, "full_outer")
+        .select(
+            id_col,
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(float(c)) + F.col("_rank_a")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(float(c)) + F.col("_rank_b")),
+                    F.lit(0.0),
+                )
+            ).alias("_rrf"),
+        )
+        .select(id_col, F.round("_rrf", 6).alias("rrf"))
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc(id_col)).limit(k)

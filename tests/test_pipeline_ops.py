@@ -238,3 +238,31 @@ def test_ngram_jaccard_df_cut_bounds_boilerplate(spark):
     # ...and sizes are computed AFTER the cut, so identical post-cut docs
     # score 1.0 (a pre-cut denominator would systematically underestimate)
     assert pairs[(100, 101)] == 1.0
+
+
+def test_rrf_fuse_full_outer_and_determinism(spark):
+    """rrf_fuse: docs in both lists sum both reciprocal terms; docs in
+    one list get only theirs; rank ties resolve by id so the fusion is
+    deterministic across partitionings."""
+    from mysql2es_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 5.0), (4, 1.0)], "doc_id long, s double"
+    )
+    b = spark.createDataFrame(
+        [(3, 0.9), (5, 0.8), (1, 0.7)], "doc_id long, c double"
+    )
+    got = {r["doc_id"]: r["rrf"]
+           for r in rrf_fuse(a, b, "doc_id", "s", "c", k=10).collect()}
+    # ranks: a -> 1:1, 2:2 (tie 5.0 -> lower id first), 3:3, 4:4
+    #        b -> 3:1, 5:2, 1:3
+    assert got[1] == round(1 / 61 + 1 / 63, 6)
+    assert got[2] == round(1 / 62, 6)
+    assert got[3] == round(1 / 63 + 1 / 61, 6)
+    assert got[5] == round(1 / 62, 6)
+    assert got[4] == round(1 / 64, 6)
+    # repartitioned inputs fuse identically
+    got2 = {r["doc_id"]: r["rrf"]
+            for r in rrf_fuse(a.repartition(7), b.repartition(3),
+                              "doc_id", "s", "c", k=10).collect()}
+    assert got == got2
