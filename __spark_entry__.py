@@ -467,6 +467,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["search_filtered_where"] = search_filtered_where
 
+    def phrase_search(spark, sf):
+        # match_phrase over a position-free corpus: exact consecutive
+        # occurrences (overlap-aware, codegen higher-order functions —
+        # operators.search.phrase_topk), scored as BM25 of the phrase
+        # as one pseudo-term (tf = occurrences, df = phrase df)
+        from mysql2es_spark.operators.search import phrase_topk
+
+        toks = _t(spark, sf, "documents").select(
+            "doc_id", tokenize_simple("text").alias("ts")
+        )
+        return phrase_topk(toks, "ts", "doc_id", ["table", "hash"], k=20)
+    q["phrase_search"] = phrase_search
+
     # ---- training-data pipeline ops --------------------------------------
     def token_count(spark, sf):
         d = _t(spark, sf, "documents")
@@ -1165,6 +1178,30 @@ def oracle_sql() -> dict[str, str]:
         _QUERY_TERMS, 20,
         where="source IN ('src3', 'src7', 'src11') AND doc_id % 2 = 0",
     )
+
+    sql["phrase_search"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), t2 AS (
+  SELECT doc_id, len(ts) AS dl,
+         CASE WHEN len(ts) >= 2 THEN
+           len(list_filter(range(1, len(ts)),
+                           i -> ts[i] = 'table' AND ts[i+1] = 'hash'))
+         ELSE 0 END AS ptf
+  FROM toks
+), stats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM t2),
+dfp AS (SELECT count(*) AS df FROM t2 WHERE ptf > 0)
+SELECT doc_id,
+       round(ln(1.0 + (stats.n - dfp.df + 0.5) / (dfp.df + 0.5))
+             * (ptf * (1.2 + 1.0))
+             / (ptf + 1.2 * (1.0 - 0.75 + 0.75 * dl / stats.avgdl)),
+             6) AS score
+FROM t2, stats, dfp WHERE ptf > 0
+ORDER BY score DESC, doc_id LIMIT 20
+"""
 
     sql["token_count"] = f"""
         SELECT doc_id,

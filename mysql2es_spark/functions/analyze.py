@@ -228,6 +228,18 @@ def tokenize_simple(col: Column | str) -> Column:
     return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda t: t != F.lit(""))
 
 
+def analyzer_col(name: str):
+    """Column-level tokenizer for a named analyzer — the executor-side
+    twin of ``analyzer_py`` (same lock-step contract): 'simple' stays
+    JVM-side (whole-stage codegen); 'code' is the Arrow-vectorized
+    pandas UDF that the index build itself uses."""
+    if name == "code":
+        return lambda c: tokenize_code(F.col(c) if isinstance(c, str) else c)
+    if name == "simple":
+        return tokenize_simple
+    raise ValueError(f"unknown analyzer {name!r}")
+
+
 def tokenize_simple_py(text: str) -> list[str]:
     """Driver-side twin of ``tokenize_simple`` for query analysis."""
     if text is None:

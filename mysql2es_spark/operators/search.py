@@ -349,3 +349,104 @@ def rrf_fuse(
         .select(id_col, F.round("_rrf", 6).alias("rrf"))
     )
     return fused.orderBy(F.desc("rrf"), F.asc(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Phrase search (match_phrase analogue — ES delegates this to positional
+# postings; we verify positions on a pruned candidate set instead, so the
+# index stays position-free and the verification cost is bounded by the
+# rarest term's document frequency, not the corpus)
+# ---------------------------------------------------------------------------
+
+def phrase_count(ts, phrase: list[str]):
+    """Column: number of occurrences (overlap-aware) of the consecutive
+    token sequence ``phrase`` inside array column ``ts``.
+
+    Pure higher-order functions — `sequence` + `filter` + `element_at`
+    stay inside whole-stage codegen; no UDF, no shuffle.  Guarded so
+    docs shorter than the phrase count 0 (Spark's ``sequence(1, 0)``
+    would otherwise generate a DESCENDING range)."""
+    import functools
+    import operator
+
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    m = len(phrase)
+    if m == 0:
+        return F.lit(0)
+
+    def _match_at(i):
+        return functools.reduce(
+            operator.and_,
+            [
+                F.element_at(ts, (i + F.lit(j)).cast("int")) == F.lit(phrase[j])
+                for j in range(m)
+            ],
+        )
+
+    return F.when(
+        F.size(ts) >= m,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size(ts) - F.lit(m - 1)), _match_at
+            )
+        ),
+    ).otherwise(F.lit(0))
+
+
+def phrase_topk(
+    toks: DataFrame,
+    ts_col: str,
+    id_col: str,
+    phrase: list[str],
+    k: int = 20,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """Exact phrase top-k over a tokenized corpus: docs containing the
+    consecutive token sequence, scored as BM25 of the phrase treated as
+    one pseudo-term (tf = phrase occurrences, df = docs containing the
+    phrase — Lucene's PhraseQuery scoring shape, one shared formula
+    module ``functions.bm25``).
+
+    Plan: (1) stats pass unless (n_docs, avgdl) are supplied by the
+    caller (SearchIndex passes manifest stats — zero extra jobs);
+    (2) conjunctive `array_contains` prefilter short-circuits the
+    positional scan for docs missing any phrase term (predicate-only,
+    no shuffle); (3) the phrase-df denominator joins back as a
+    broadcast 1-row agg, NOT a driver count — one lazy plan end to end.
+    Returns (id_col, score) rounded to 6, tie-broken by id."""
+    m = len(phrase)
+    empty = toks.sparkSession.createDataFrame(
+        [], f"{id_col} long, score double"
+    )
+    if m == 0:
+        return empty
+    base = toks.select(
+        F.col(id_col), F.col(ts_col).alias("_ts")
+    ).withColumn("_dl", F.size("_ts").cast("long"))
+    if n_docs is None or avgdl is None:
+        srow = base.agg(
+            F.count("*").alias("n"),
+            (F.sum("_dl").cast("double") / F.count("*")).alias("a"),
+        ).head()
+        n_docs, avgdl = int(srow["n"]), float(srow["a"])
+    if n_docs == 0:
+        return empty
+    cand = base
+    for t in sorted(set(phrase)):
+        cand = cand.filter(F.array_contains("_ts", t))
+    cand = (
+        cand.withColumn("_ptf", phrase_count(F.col("_ts"), phrase))
+        .filter(F.col("_ptf") > 0)
+        .select(id_col, "_dl", "_ptf")
+    )
+    dfp = cand.agg(F.count("*").alias("_dfp"))
+    scored = cand.crossJoin(F.broadcast(dfp)).select(
+        F.col(id_col),
+        F.round(
+            bm25.idf_col(F.col("_dfp"), n_docs)
+            * bm25.tfnorm_col(F.col("_ptf"), F.col("_dl"), avgdl),
+            6,
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

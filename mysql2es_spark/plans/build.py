@@ -1328,6 +1328,96 @@ class SearchIndex:
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 
+    def search_phrase(
+        self,
+        phrase_text: str,
+        source_df: DataFrame,
+        k: int = 20,
+        lang: str | None = None,
+        repo: str | None = None,
+        where=None,
+        field: str | None = None,
+    ) -> DataFrame:
+        """match_phrase over a position-free index (ES delegates phrases
+        to positional postings, README-EN.org:186-187; we keep postings
+        position-free and verify adjacency on a pruned candidate set —
+        the two-phase design positions-free engines use).
+
+        Phase 1 (index): read ONLY the phrase terms' posting buckets
+        (the same partition/row-group pruning as ``search``) and keep
+        docs containing ALL distinct terms — candidate count is bounded
+        by the rarest term's df, not the corpus.  Phase 2 (source):
+        semi-join ``source_df`` (the snapshot-log corpus; content never
+        lives in the index — content-free dataflow) on doc_key so the
+        source scan reads only candidate docs, re-tokenize with the
+        field's analyzer, and count exact consecutive occurrences
+        (``operators.search.phrase_count`` — codegen, no UDF for the
+        'simple' analyzer).  Scoring: BM25 with the phrase as one
+        pseudo-term (tf = occurrences, df = verified phrase df over
+        live docs; N/avgdl from the manifest, matching ``search``'s
+        stats conventions).  Tombstoned docs are excluded in phase 1.
+        """
+        from ..operators.search import analyze_query, phrase_topk
+        from ..functions.analyze import analyzer_col
+        from ..sources.corpus import with_doc_key
+
+        tf_cfg = self.manifest.resolved_text_fields()
+        fld = field if field is not None else next(iter(tf_cfg))
+        if fld not in tf_cfg:
+            raise ValueError(
+                f"unknown text field {fld!r}; configured: {list(tf_cfg)}"
+            )
+        az = tf_cfg[fld]
+        multi = len(tf_cfg) > 1
+        from ..functions.analyze import analyzer_py
+
+        phrase = analyzer_py(az)(phrase_text)
+        empty = self.spark.createDataFrame(
+            [], "doc_id long, score double, doc_key string, repo string, "
+                "path string, lang string"
+        )
+        if not phrase:
+            return empty
+        dterms = sorted(set(phrase))
+        iterms = [f"{fld}:{t}" for t in dterms] if multi else dterms
+        # phase 1: conjunctive candidates from pruned posting reads
+        tf = self.tf_table(iterms).filter(F.col("term").isin(iterms))
+        cand_ids = (
+            tf.groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("_nt"))
+            .filter(F.col("_nt") == len(iterms))
+            .select("doc_id")
+        )
+        allowed, denied = self._doc_filter(lang, repo, where=where)
+        if allowed is not None:
+            cand_ids = cand_ids.join(allowed, "doc_id", "left_semi")
+        if denied is not None:
+            cand_ids = cand_ids.join(denied, "doc_id", "left_anti")
+        meta = self.docstore().select(
+            "doc_id", "doc_key", "repo", "path", "lang"
+        )
+        cand_meta = cand_ids.join(meta, "doc_id", "inner")
+        # phase 2: fetch ONLY candidate docs' text from the source and
+        # verify adjacency; doc_key semi-join pushes the candidate set
+        # into the source scan
+        src = with_doc_key(source_df).select(
+            "doc_key", F.col(fld).alias("_text")
+        )
+        cand_toks = (
+            cand_meta.select("doc_id", "doc_key")
+            .join(src, "doc_key", "inner")
+            .select("doc_id", analyzer_col(az)(F.col("_text")).alias("_ts"))
+        )
+        top = phrase_topk(
+            cand_toks, "_ts", "doc_id", phrase, k,
+            n_docs=self.manifest.n_docs_total,
+            avgdl=self.manifest.avgdl_for(fld),
+        )
+        return (
+            F.broadcast(top).join(meta, "doc_id", "inner")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
 
 #: test/diagnostic hook: dead-set strategy of the last compact() call —
 #: "executor-pyarrow" (local roots), "cogroup" (non-local roots; fully

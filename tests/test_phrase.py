@@ -1,0 +1,117 @@
+"""Phrase search (match_phrase analogue over a position-free index).
+
+The reference delegates phrase queries to ES positional postings
+(README-EN.org:186-187); our index stays position-free and verifies
+adjacency on the pruned candidate set.  These tests pin (1) the
+overlap-aware occurrence counter, (2) end-to-end identity between
+``SearchIndex.search_phrase`` (index-pruned candidates + source
+verification) and an independent full-scan ``phrase_topk`` over the
+live corpus, and (3) filtered-phrase semantics.
+"""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mysql2es_spark.functions.analyze import tokenize_code
+from mysql2es_spark.operators.search import phrase_count, phrase_topk
+from mysql2es_spark.plans.build import SearchIndex
+
+
+def test_phrase_count_overlap_and_guards(spark):
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b", "a", "b", "a"]),  # overlapping 'a b a' at 1 and 3
+            (2, ["a", "b"]),                 # shorter than the phrase
+            (3, []),                         # empty doc
+            (4, ["x", "a", "b", "a", "y"]),  # one occurrence mid-doc
+        ],
+        "doc_id long, ts array<string>",
+    )
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", phrase_count("ts", ["a", "b", "a"]).alias("c")
+        ).collect()
+    }
+    assert got == {1: 2, 2: 0, 3: 0, 4: 1}
+    # empty phrase counts nothing
+    assert df.select(phrase_count("ts", []).alias("c")).first()["c"] == 0
+
+
+def _live_corpus(spark, fixture_index):
+    """(idx, (doc_id, ts)) of the engine's LIVE docs: docstore minus
+    tombstones, content = latest version per doc_key from the raw
+    snapshot log — an independent reconstruction, not the engine's own
+    join."""
+    idx = SearchIndex(spark, fixture_index["root"])
+    live = idx.docstore().select("doc_id", "doc_key")
+    tomb = idx.tombstones()
+    if tomb is not None:
+        live = live.join(tomb, "doc_id", "left_anti")
+    raw = (
+        fixture_index["log"].read_all(spark)
+        .withColumn(
+            "doc_key",
+            F.concat_ws("-", F.col("repo"), F.col("path"), F.col("commit")),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("doc_key").orderBy(F.desc("snapshot_id"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("doc_key", "content")
+    )
+    return idx, live.join(raw, "doc_key").select(
+        "doc_id", tokenize_code("content").alias("ts")
+    )
+
+
+def test_search_phrase_matches_independent_fullscan(spark, fixture_index):
+    idx, toks = _live_corpus(spark, fixture_index)
+    # deterministic 2-token phrase that exists: first two tokens of the
+    # lowest-id doc
+    phrase = list(toks.orderBy("doc_id").select("ts").first()["ts"][:2])
+    expect = phrase_topk(
+        toks, "ts", "doc_id", phrase, k=20,
+        n_docs=idx.manifest.n_docs_total, avgdl=idx.manifest.avgdl,
+    ).collect()
+    assert len(expect) > 0, f"picked phrase {phrase} matches nothing"
+    got = idx.search_phrase(
+        " ".join(phrase), fixture_index["log"].read_all(spark), k=20
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in expect
+    ]
+    # display metadata joined from the doc store
+    assert got[0]["doc_key"] is not None and got[0]["repo"] is not None
+
+
+def test_search_phrase_lang_filter_and_misses(spark, fixture_index):
+    idx = SearchIndex(spark, fixture_index["root"])
+    src = fixture_index["log"].read_all(spark)
+    r = src.select(tokenize_code("content").alias("ts")).first()
+    phrase = " ".join(r["ts"][:2])
+    # unbounded k: the filtered list must be a subset of ALL phrase
+    # matches (a filtered top-k can surface docs below the global cut)
+    unfiltered = idx.search_phrase(phrase, src, k=1_000_000).collect()
+    filtered = idx.search_phrase(phrase, src, k=50, lang="py").collect()
+    assert {x["doc_id"] for x in filtered} <= {x["doc_id"] for x in unfiltered}
+    assert all(x["lang"] == "py" for x in filtered)
+    # nonexistent terms return nothing; empty query returns nothing
+    assert idx.search_phrase("zzqqxx yyzzqq", src, k=5).count() == 0
+    assert idx.search_phrase("", src, k=5).count() == 0
+
+
+def test_search_phrase_reads_only_phrase_term_buckets(spark, fixture_index):
+    """The candidate phase must keep the bucket-pruned posting read —
+    phrase search pays for the terms it queries, not the index."""
+    idx = SearchIndex(spark, fixture_index["root"])
+    src = fixture_index["log"].read_all(spark)
+    r = src.select(tokenize_code("content").alias("ts")).first()
+    phrase = [t for t in r["ts"][:2]]
+    n_buckets = fixture_index["cfg"].n_buckets
+    files = idx.postings(sorted(set(phrase))).inputFiles()
+    buckets = {f.split("bucket=")[1].split("/")[0] for f in files}
+    assert 0 < len(buckets) <= min(len(set(phrase)), n_buckets)
