@@ -480,6 +480,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return phrase_topk(toks, "ts", "doc_id", ["table", "hash"], k=20)
     q["phrase_search"] = phrase_search
 
+    def facet_counts_q(spark, sf):
+        # ES terms-aggregation analogue: bucket counts of lang and
+        # source over the match set (OR over the query terms) —
+        # operators.search.facet_counts
+        from mysql2es_spark.operators.search import facet_counts
+
+        d = _t(spark, sf, "documents")
+        m = d.select(
+            "doc_id", "lang", "source", tokenize_simple("text").alias("ts")
+        ).filter(
+            F.arrays_overlap(
+                "ts", F.array(*[F.lit(t) for t in _QUERY_TERMS])
+            )
+        )
+        return facet_counts(m, ["lang", "source"])
+    q["facet_counts"] = facet_counts_q
+
     # ---- training-data pipeline ops --------------------------------------
     def token_count(spark, sf):
         d = _t(spark, sf, "documents")
@@ -1201,6 +1218,22 @@ SELECT doc_id,
              6) AS score
 FROM t2, stats, dfp WHERE ptf > 0
 ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+    _ql = ", ".join(f"'{t}'" for t in _QUERY_TERMS)
+    sql["facet_counts"] = f"""
+WITH m AS (
+  SELECT doc_id, lang, source
+  FROM documents
+  WHERE len(list_filter(
+          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                      t -> t <> ''),
+          t -> t IN ({_ql}))) > 0
+)
+SELECT 'lang' AS facet, lang AS value, count(*) AS cnt FROM m GROUP BY lang
+UNION ALL
+SELECT 'source' AS facet, source AS value, count(*) AS cnt FROM m GROUP BY source
+ORDER BY facet, cnt DESC, value
 """
 
     sql["token_count"] = f"""

@@ -450,3 +450,41 @@ def phrase_topk(
         ).alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def facet_counts(
+    matches: DataFrame, facet_cols: list[str], top_n: int | None = None
+) -> DataFrame:
+    """ES terms-aggregation analogue over a match set: per-facet value
+    counts, one unioned frame (facet, value, cnt).
+
+    Each facet is an independent map-side-combined groupBy over the
+    (already pruned) match set — no joins, no window.  ``top_n`` bounds
+    each facet's bucket list like ES's ``size`` (rank by cnt desc,
+    value asc — deterministic across engines).  At scale the match set
+    is the output of a pruned posting read, so facet cost is
+    O(matches), never O(corpus)."""
+    from pyspark.sql import Window
+
+    outs = []
+    for c in facet_cols:
+        g = matches.groupBy(F.col(c).cast("string").alias("value")).agg(
+            F.count("*").alias("cnt")
+        ).select(F.lit(c).alias("facet"), "value", "cnt")
+        if top_n is not None:
+            g = (
+                g.withColumn(
+                    "_rk",
+                    F.row_number().over(
+                        Window.partitionBy("facet")
+                        .orderBy(F.desc("cnt"), F.asc("value"))
+                    ),
+                )
+                .filter(F.col("_rk") <= top_n)
+                .drop("_rk")
+            )
+        outs.append(g)
+    out = outs[0]
+    for g in outs[1:]:
+        out = out.unionByName(g)
+    return out.orderBy("facet", F.desc("cnt"), "value")

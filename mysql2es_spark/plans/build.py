@@ -1328,6 +1328,48 @@ class SearchIndex:
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 
+    def facets(
+        self,
+        query_text: str,
+        by: list[str],
+        lang: str | None = None,
+        repo: str | None = None,
+        where=None,
+        field: str | None = None,
+        top_n: int | None = None,
+    ) -> DataFrame:
+        """ES search-with-aggregations: bucket counts of doc-store
+        fields over the query's match set (OR semantics — any query
+        term), honoring the same filters/tombstones as ``search``.
+
+        The match set comes from the bucket-pruned posting read (never
+        a corpus scan); facet columns come from the doc store via one
+        inner join; counting is a map-side-combined groupBy per facet
+        (``operators.search.facet_counts``)."""
+        from ..operators.search import analyze_query, facet_counts
+
+        tf_cfg = self.manifest.resolved_text_fields()
+        fld = field if field is not None else next(iter(tf_cfg))
+        multi = len(tf_cfg) > 1
+        qterms = analyze_query(query_text, analyzer=tf_cfg[fld])
+        terms = [
+            (f"{fld}:{t}" if multi else t) for t, _ in qterms
+        ]
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "facet string, value string, cnt long"
+            )
+        matched = self.tf_table(terms).filter(
+            F.col("term").isin(terms)
+        ).select("doc_id").distinct()
+        allowed, denied = self._doc_filter(lang, repo, where=where)
+        if allowed is not None:
+            matched = matched.join(allowed, "doc_id", "left_semi")
+        if denied is not None:
+            matched = matched.join(denied, "doc_id", "left_anti")
+        meta = self.docstore().select("doc_id", *by)
+        return facet_counts(matched.join(meta, "doc_id", "inner"), by, top_n)
+
     def search_phrase(
         self,
         phrase_text: str,

@@ -115,3 +115,34 @@ def test_search_phrase_reads_only_phrase_term_buckets(spark, fixture_index):
     files = idx.postings(sorted(set(phrase))).inputFiles()
     buckets = {f.split("bucket=")[1].split("/")[0] for f in files}
     assert 0 < len(buckets) <= min(len(set(phrase)), n_buckets)
+
+
+def test_facets_match_independent_count(spark, fixture_index):
+    """SearchIndex.facets == independent reconstruction: OR-match set
+    from re-tokenized live corpus, counted by lang."""
+    idx, toks_live = _live_corpus(spark, fixture_index)
+    src = fixture_index["log"].read_all(spark)
+    r = src.select(tokenize_code("content").alias("ts")).first()
+    terms = sorted(set(r["ts"][:3]))
+    got = {
+        (x["facet"], x["value"]): x["cnt"]
+        for x in idx.facets(" ".join(terms), by=["lang"]).collect()
+    }
+    live_meta = idx.docstore().select("doc_id", "lang")
+    tomb = idx.tombstones()
+    if tomb is not None:
+        live_meta = live_meta.join(tomb, "doc_id", "left_anti")
+    expect = {
+        ("lang", x["lang"]): x["c"]
+        for x in toks_live.filter(
+            F.arrays_overlap("ts", F.array(*[F.lit(t) for t in terms]))
+        )
+        .join(live_meta, "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert got == expect and len(got) > 0
+    # top_n bounds each facet's bucket list
+    top1 = idx.facets(" ".join(terms), by=["lang", "repo"], top_n=1).collect()
+    assert len(top1) == 2 and {x["facet"] for x in top1} == {"lang", "repo"}
