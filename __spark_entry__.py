@@ -156,22 +156,36 @@ _SQL_TOKS = (
 
 
 def _bm25_sql(terms: list[str], k: int, lang: str | None = None,
-              where: str | None = None) -> str:
+              where: str | None = None,
+              expand_prefix: str | None = None,
+              max_expansions: int = 50) -> str:
     tlist = ", ".join(f"'{t}'" for t in terms)
     lang_pred = f"AND lang = '{lang}'" if lang else ""
     if where:
         lang_pred += f" AND ({where})"
+    if expand_prefix is not None:
+        # ES prefix-query rewrite: distinct matching terms, sorted,
+        # first max_expansions — must mirror the Spark twin exactly
+        exp_cte = f"""_exp AS (
+  SELECT DISTINCT t AS term
+  FROM (SELECT unnest(ts) AS t FROM toks)
+  WHERE t LIKE '{expand_prefix}%' ORDER BY term LIMIT {max_expansions}
+), """
+        term_filter = "t IN (SELECT term FROM _exp)"
+    else:
+        exp_cte = ""
+        term_filter = f"t IN ({tlist})"
     return f"""
 WITH toks AS (
   SELECT doc_id, lang, source, {_SQL_TOKS} AS ts FROM documents
-), dl AS (
+), {exp_cte}dl AS (
   SELECT doc_id, lang, source, len(ts)::bigint AS dl FROM toks
 ), stats AS (
   SELECT count(*)::bigint AS n_docs, sum(dl)::double / count(*) AS avgdl FROM dl
 ), tf AS (
   SELECT doc_id, t AS term, count(*)::bigint AS tf
   FROM (SELECT doc_id, unnest(ts) AS t FROM toks)
-  WHERE t IN ({tlist})
+  WHERE {term_filter}
   GROUP BY doc_id, t
 ), dfs AS (
   SELECT term, count(*)::bigint AS df FROM tf GROUP BY term
@@ -496,6 +510,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return facet_counts(m, ["lang", "source"])
     q["facet_counts"] = facet_counts_q
+
+    def prefix_search(spark, sf):
+        # ES prefix query, scoring_boolean rewrite: expand 'ta' against
+        # the corpus's distinct tokens (sorted, capped 50 — the engine
+        # side expands against the term DICTIONARY,
+        # SearchIndex.expand_prefix) and score the expansion as an OR
+        # query through the same exact BM25 as topk_exact
+        toks = _doc_tokens(_t(spark, sf, "documents"))
+        exp = (
+            toks.select(F.explode("ts").alias("term"))
+            .filter(F.col("term").startswith("ta"))
+            .distinct().orderBy("term").limit(50).collect()
+        )
+        return _bm25_simple_topk(spark, sf, [r["term"] for r in exp], 20)
+    q["prefix_search"] = prefix_search
 
     # ---- training-data pipeline ops --------------------------------------
     def token_count(spark, sf):
@@ -1235,6 +1264,8 @@ UNION ALL
 SELECT 'source' AS facet, source AS value, count(*) AS cnt FROM m GROUP BY source
 ORDER BY facet, cnt DESC, value
 """
+
+    sql["prefix_search"] = _bm25_sql([], 20, expand_prefix="ta")
 
     sql["token_count"] = f"""
         SELECT doc_id,

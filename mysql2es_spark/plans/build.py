@@ -1297,6 +1297,16 @@ class SearchIndex:
         qterms = analyze_query(query_text, analyzer=tf_cfg[fld])
         if multi:  # per-field term namespace
             qterms = [(f"{fld}:{t}", c) for t, c in qterms]
+        return self._topk_for_qterms(
+            qterms, fld, k, lang, repo, exact, where, template_bucket
+        )
+
+    def _topk_for_qterms(
+        self, qterms, fld, k, lang, repo, exact, where, template_bucket,
+    ) -> DataFrame:
+        """Shared scoring tail of ``search``/``search_prefix``: pruned
+        posting read -> exact or block-max top-k -> doc-store meta
+        join."""
         terms = [t for t, _ in qterms]
         if not terms:
             return self.spark.createDataFrame(
@@ -1326,6 +1336,72 @@ class SearchIndex:
         return (
             F.broadcast(top).join(meta, "doc_id", "inner")
             .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+    def expand_prefix(
+        self, prefix: str, field: str | None = None, max_expansions: int = 50
+    ) -> list[str]:
+        """Dictionary-backed term expansion for prefix queries: terms
+        starting with ``prefix`` in the field's namespace, sorted, first
+        ``max_expansions`` (ES prefix-query rewrite order).  Uses the
+        driver dictionary cache when loaded (zero Spark jobs); falls
+        back to a predicate-pushed scan of the tiny dictionary parquet —
+        never the postings, never the corpus."""
+        tf_cfg = self.manifest.resolved_text_fields()
+        fld = field if field is not None else next(iter(tf_cfg))
+        multi = len(tf_cfg) > 1
+        pfx = f"{fld}:{prefix}" if multi else prefix
+        if not self._dict_cache_tried:
+            self._dict_cache_tried = True
+            self._dict_cache = self._try_load_dict_cache()
+        if self._dict_cache is not None:
+            hits = sorted(t for t in self._dict_cache if t.startswith(pfx))
+            return hits[:max_expansions]
+        dict_paths = [
+            p
+            for s in self.manifest.segments
+            if self._fs.is_dir(
+                p := os.path.join(self.root, "segments", s.name, "dictionary")
+            )
+        ]
+        if not dict_paths:
+            return []
+        rows = (
+            self.spark.read.parquet(*dict_paths)
+            .filter(F.col("term").startswith(pfx))
+            .select("term").distinct().orderBy("term")
+            .limit(max_expansions)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def search_prefix(
+        self,
+        prefix: str,
+        k: int = 20,
+        lang: str | None = None,
+        repo: str | None = None,
+        exact: bool = False,
+        where=None,
+        template_bucket: str | None = None,
+        field: str | None = None,
+        max_expansions: int = 50,
+    ) -> DataFrame:
+        """ES prefix-query analogue with the scoring_boolean rewrite:
+        expand the prefix against the term dictionary (sorted, capped at
+        ``max_expansions``) and score the expansion as an OR query with
+        unit query-term weights through the same exact/block-max paths
+        as ``search`` — identical pruning, filters, and tie order."""
+        tf_cfg = self.manifest.resolved_text_fields()
+        fld = field if field is not None else next(iter(tf_cfg))
+        if fld not in tf_cfg:
+            raise ValueError(
+                f"unknown text field {fld!r}; configured: {list(tf_cfg)}"
+            )
+        terms = self.expand_prefix(prefix, field=fld, max_expansions=max_expansions)
+        qterms = [(t, 1) for t in terms]
+        return self._topk_for_qterms(
+            qterms, fld, k, lang, repo, exact, where, template_bucket
         )
 
     def facets(

@@ -146,3 +146,31 @@ def test_facets_match_independent_count(spark, fixture_index):
     # top_n bounds each facet's bucket list
     top1 = idx.facets(" ".join(terms), by=["lang", "repo"], top_n=1).collect()
     assert len(top1) == 2 and {x["facet"] for x in top1} == {"lang", "repo"}
+
+
+def test_search_prefix_expansion_and_rank_identity(spark, fixture_index):
+    """Prefix query: dictionary-backed expansion (sorted, capped), unit
+    query weights, and exact==blockmax rank identity on the expanded OR
+    query — the same north-rule contract as plain search."""
+    idx = SearchIndex(spark, fixture_index["root"])
+    # derive a prefix guaranteed productive: first 2 chars of a real term
+    some_term = next(iter(idx._try_load_dict_cache() or {"def": 1}))
+    pfx = some_term[:2]
+    exp = idx.expand_prefix(pfx, max_expansions=10)
+    assert 0 < len(exp) <= 10
+    assert exp == sorted(exp) and all(t.startswith(pfx) for t in exp)
+    ex = idx.search_prefix(pfx, k=15, exact=True, max_expansions=10).collect()
+    bm = idx.search_prefix(pfx, k=15, exact=False, max_expansions=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in ex] == [
+        (r["doc_id"], r["score"]) for r in bm
+    ]
+    assert len(ex) > 0
+    # cap honored: a 1-expansion query scores like a single-term search
+    one = idx.search_prefix(some_term, k=15, exact=True,
+                            max_expansions=1).collect()
+    single = idx.search(some_term, k=15, exact=True).collect()
+    assert [(r["doc_id"], r["score"]) for r in one] == [
+        (r["doc_id"], r["score"]) for r in single
+    ]
+    # nonexistent prefix
+    assert idx.search_prefix("zzzzqx", k=5).count() == 0
