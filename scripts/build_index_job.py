@@ -40,7 +40,8 @@ if os.path.isdir(os.path.join(_repo_root, "mysql2es_spark")):
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="build_index_job")
     ap.add_argument("mode", choices=[
-        "full", "sync", "compensate", "compact", "search", "daemon",
+        "full", "sync", "compensate", "compact", "search",
+        "search-phrase", "search-prefix", "facets", "daemon",
         "ann-build", "ann-search", "ann-upsert", "ann-delete",
         "ann-compact",
     ])
@@ -95,6 +96,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="ann-delete: JSON array of vector ids")
     ap.add_argument("--max-ticks", type=int, default=0,
                     help="daemon mode: stop after N ticks (0 = forever)")
+    ap.add_argument("--max-expansions", type=int, default=50,
+                    help="search-prefix mode: dictionary expansion cap "
+                         "(ES prefix-rewrite size)")
+    ap.add_argument("--facet-by", default="lang",
+                    help="facets mode: comma-separated doc-store columns")
+    ap.add_argument("--top-n", type=int, default=None,
+                    help="facets mode: per-facet bucket cap (ES agg size)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -133,6 +141,52 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(
                 {"doc_key": r["doc_key"], "score": r["score"],
                  "repo": r["repo"], "path": r["path"], "lang": r["lang"]}
+            ))
+        return 0
+
+    if args.mode == "search-phrase":
+        if not args.log_root:
+            ap.error("--log-root required for search-phrase (adjacency is "
+                     "verified against the snapshot-log source; the index "
+                     "is content-free)")
+        idx = SearchIndex(spark, args.index_root, cfg)
+        src = SnapshotLog(args.log_root).read_all(spark)
+        rows = idx.search_phrase(
+            args.query or "", src, k=args.k, lang=args.lang,
+            repo=args.repo, where=args.where, field=args.field,
+        ).collect()
+        for r in rows:
+            print(json.dumps(
+                {"doc_key": r["doc_key"], "score": r["score"],
+                 "repo": r["repo"], "path": r["path"], "lang": r["lang"]}
+            ))
+        return 0
+
+    if args.mode == "search-prefix":
+        idx = SearchIndex(spark, args.index_root, cfg)
+        rows = idx.search_prefix(
+            args.query or "", k=args.k, lang=args.lang, repo=args.repo,
+            exact=args.exact, where=args.where, field=args.field,
+            template_bucket=args.template_bucket,
+            max_expansions=args.max_expansions,
+        ).collect()
+        for r in rows:
+            print(json.dumps(
+                {"doc_key": r["doc_key"], "score": r["score"],
+                 "repo": r["repo"], "path": r["path"], "lang": r["lang"]}
+            ))
+        return 0
+
+    if args.mode == "facets":
+        idx = SearchIndex(spark, args.index_root, cfg)
+        rows = idx.facets(
+            args.query or "", by=args.facet_by.split(","),
+            lang=args.lang, repo=args.repo, where=args.where,
+            field=args.field, top_n=args.top_n,
+        ).collect()
+        for r in rows:
+            print(json.dumps(
+                {"facet": r["facet"], "value": r["value"], "cnt": r["cnt"]}
             ))
         return 0
 
