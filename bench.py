@@ -159,6 +159,26 @@ def run_suite(cores: int, n_files: int, workdir: str,
         idx.search(BENCH_QUERIES[0], k=20, lang="py").collect()
         timings["bm25_filtered"] = time.time() - t0
 
+        # round-5 query surface: phrase (two-phase candidate+verify),
+        # prefix (dictionary expansion), facets (terms agg on match set)
+        from mysql2es_spark.functions.analyze import tokenize_code
+
+        first_ts = corpus.orderBy("repo", "path").select(
+            tokenize_code("content").alias("ts")
+        ).first()["ts"]
+        phrase = " ".join(first_ts[:2])
+        t0 = time.time()
+        idx.search_phrase(phrase, corpus, k=20).collect()
+        timings["phrase_topk"] = time.time() - t0
+
+        t0 = time.time()
+        idx.search_prefix("pa", k=20).collect()
+        timings["prefix_topk"] = time.time() - t0
+
+        t0 = time.time()
+        idx.facets(BENCH_QUERIES[0], by=["lang", "repo"], top_n=10).collect()
+        timings["facets_agg"] = time.time() - t0
+
         t0 = time.time()
         (
             corpus.select(
