@@ -938,6 +938,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["llm_pipeline"] = llm_pipeline
 
+    def query_surface_lifecycle(spark, sf):
+        # the round-5 query surface driven through a BUILT index under
+        # the harness (the compaction_lifecycle pattern): build ->
+        # match_phrase (two-phase source verification) -> prefix
+        # expansion -> facet counts, one unioned tall frame.  Rows-only:
+        # each semantic is oracle-checked by its table-level twin
+        # (phrase_search, prefix_search, facet_counts).
+        from mysql2es_spark.operators.index import IndexConfig
+        from mysql2es_spark.plans.build import SearchIndex, full_build
+
+        docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 1500)
+        corpus = docs.select(
+            F.concat(F.lit("src/"), F.col("source")).alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string"),
+                     F.lit(".txt")).alias("path"),
+            F.sha2(F.col("text"), 256).substr(1, 12).alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+        )
+        cfg = IndexConfig(n_buckets=8, block_size=64, salt_threshold=500,
+                          n_salts=4, chunk_span=512, id_partitions=8)
+        root = tempfile.mkdtemp(prefix="m2es_qsurf_")
+        full_build(spark, corpus, root, cfg, snapshot_id=1)
+        idx = SearchIndex(spark, root, cfg)
+        ph = idx.search_phrase("table hash", corpus, k=10).select(
+            F.lit("phrase").alias("kind"),
+            F.col("path").alias("key"),
+            F.col("score").cast("double").alias("v"),
+        )
+        pf = idx.search_prefix("ta", k=10, exact=True).select(
+            F.lit("prefix").alias("kind"),
+            F.col("path").alias("key"),
+            F.round("score", 6).cast("double").alias("v"),
+        )
+        fc = idx.facets("fast hash join", by=["lang"]).select(
+            F.lit("facet").alias("kind"),
+            F.col("value").alias("key"),
+            F.col("cnt").cast("double").alias("v"),
+        )
+        return (
+            ph.unionByName(pf).unionByName(fc)
+            .orderBy("kind", F.desc("v"), "key")
+        )
+    q["query_surface_lifecycle"] = query_surface_lifecycle
+
     def rolling_fp(spark, sf):
         d = _t(spark, sf, "documents")
         return d.select(
