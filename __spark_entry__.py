@@ -164,12 +164,16 @@ def _bm25_sql(terms: list[str], k: int, lang: str | None = None,
     if where:
         lang_pred += f" AND ({where})"
     if expand_prefix is not None:
-        # ES prefix-query rewrite: distinct matching terms, sorted,
-        # first max_expansions — must mirror the Spark twin exactly
+        # ES prefix/wildcard rewrite: distinct matching terms, sorted,
+        # first max_expansions — must mirror the Spark twin exactly.
+        # A '%' anywhere in expand_prefix means the caller passed a
+        # full LIKE pattern (wildcard query); otherwise prefix match.
+        like = (expand_prefix if "%" in expand_prefix
+                else f"{expand_prefix}%")
         exp_cte = f"""_exp AS (
   SELECT DISTINCT t AS term
   FROM (SELECT unnest(ts) AS t FROM toks)
-  WHERE t LIKE '{expand_prefix}%' ORDER BY term LIMIT {max_expansions}
+  WHERE t LIKE '{like}' ORDER BY term LIMIT {max_expansions}
 ), """
         term_filter = "t IN (SELECT term FROM _exp)"
     else:
@@ -525,6 +529,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _bm25_simple_topk(spark, sf, [r["term"] for r in exp], 20)
     q["prefix_search"] = prefix_search
+
+    def wildcard_search(spark, sf):
+        # ES wildcard query '*ow*' (scoring_boolean rewrite): glob
+        # expansion over distinct corpus tokens — the engine side
+        # expands against the dictionary (SearchIndex.expand_wildcard)
+        toks = _doc_tokens(_t(spark, sf, "documents"))
+        exp = (
+            toks.select(F.explode("ts").alias("term"))
+            .filter(F.col("term").like("%ow%"))
+            .distinct().orderBy("term").limit(50).collect()
+        )
+        return _bm25_simple_topk(spark, sf, [r["term"] for r in exp], 20)
+    q["wildcard_search"] = wildcard_search
 
     # ---- training-data pipeline ops --------------------------------------
     def token_count(spark, sf):
@@ -1311,6 +1328,7 @@ ORDER BY facet, cnt DESC, value
 """
 
     sql["prefix_search"] = _bm25_sql([], 20, expand_prefix="ta")
+    sql["wildcard_search"] = _bm25_sql([], 20, expand_prefix="%ow%")
 
     sql["token_count"] = f"""
         SELECT doc_id,

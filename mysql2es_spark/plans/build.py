@@ -1375,6 +1375,83 @@ class SearchIndex:
         )
         return [r["term"] for r in rows]
 
+    def expand_wildcard(
+        self, pattern: str, field: str | None = None,
+        max_expansions: int = 50,
+    ) -> list[str]:
+        """ES wildcard-query expansion: ``*`` / ``?`` glob over the term
+        dictionary (the field's namespace), sorted, first
+        ``max_expansions``.  Same cost shape as ``expand_prefix`` —
+        dictionary only, never postings or corpus; the driver cache path
+        uses fnmatch, the Spark path a LIKE translation (terms are
+        tokenizer output — alphanumeric — so no LIKE metacharacter
+        escaping is needed)."""
+        import fnmatch
+
+        tf_cfg = self.manifest.resolved_text_fields()
+        fld = field if field is not None else next(iter(tf_cfg))
+        multi = len(tf_cfg) > 1
+        ns = f"{fld}:" if multi else ""
+        if not self._dict_cache_tried:
+            self._dict_cache_tried = True
+            self._dict_cache = self._try_load_dict_cache()
+        if self._dict_cache is not None:
+            hits = sorted(
+                t for t in self._dict_cache
+                if t.startswith(ns)
+                and fnmatch.fnmatchcase(t[len(ns):], pattern)
+            )
+            return hits[:max_expansions]
+        dict_paths = [
+            p
+            for s in self.manifest.segments
+            if self._fs.is_dir(
+                p := os.path.join(self.root, "segments", s.name, "dictionary")
+            )
+        ]
+        if not dict_paths:
+            return []
+        like = pattern.replace("*", "%").replace("?", "_")
+        df = self.spark.read.parquet(*dict_paths).select("term").distinct()
+        if ns:
+            df = df.filter(F.col("term").startswith(ns))
+            bare = F.col("term").substr(F.lit(len(ns) + 1), F.length("term"))
+        else:
+            bare = F.col("term")
+        rows = (
+            df.filter(bare.like(like))
+            .orderBy("term").limit(max_expansions).collect()
+        )
+        return [r["term"] for r in rows]
+
+    def search_wildcard(
+        self,
+        pattern: str,
+        k: int = 20,
+        lang: str | None = None,
+        repo: str | None = None,
+        exact: bool = False,
+        where=None,
+        template_bucket: str | None = None,
+        field: str | None = None,
+        max_expansions: int = 50,
+    ) -> DataFrame:
+        """ES wildcard query, scoring_boolean rewrite — glob expansion
+        via ``expand_wildcard``, scored like ``search_prefix``."""
+        tf_cfg = self.manifest.resolved_text_fields()
+        fld = field if field is not None else next(iter(tf_cfg))
+        if fld not in tf_cfg:
+            raise ValueError(
+                f"unknown text field {fld!r}; configured: {list(tf_cfg)}"
+            )
+        terms = self.expand_wildcard(
+            pattern, field=fld, max_expansions=max_expansions
+        )
+        qterms = [(t, 1) for t in terms]
+        return self._topk_for_qterms(
+            qterms, fld, k, lang, repo, exact, where, template_bucket
+        )
+
     def search_prefix(
         self,
         prefix: str,

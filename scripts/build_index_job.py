@@ -41,7 +41,7 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="build_index_job")
     ap.add_argument("mode", choices=[
         "full", "sync", "compensate", "compact", "search",
-        "search-phrase", "search-prefix", "facets", "daemon",
+        "search-phrase", "search-prefix", "search-wildcard", "facets", "daemon",
         "ann-build", "ann-search", "ann-upsert", "ann-delete",
         "ann-compact",
     ])
@@ -165,6 +165,21 @@ def main(argv: list[str] | None = None) -> int:
     if args.mode == "search-prefix":
         idx = SearchIndex(spark, args.index_root, cfg)
         rows = idx.search_prefix(
+            args.query or "", k=args.k, lang=args.lang, repo=args.repo,
+            exact=args.exact, where=args.where, field=args.field,
+            template_bucket=args.template_bucket,
+            max_expansions=args.max_expansions,
+        ).collect()
+        for r in rows:
+            print(json.dumps(
+                {"doc_key": r["doc_key"], "score": r["score"],
+                 "repo": r["repo"], "path": r["path"], "lang": r["lang"]}
+            ))
+        return 0
+
+    if args.mode == "search-wildcard":
+        idx = SearchIndex(spark, args.index_root, cfg)
+        rows = idx.search_wildcard(
             args.query or "", k=args.k, lang=args.lang, repo=args.repo,
             exact=args.exact, where=args.where, field=args.field,
             template_bucket=args.template_bucket,

@@ -174,3 +174,31 @@ def test_search_prefix_expansion_and_rank_identity(spark, fixture_index):
     ]
     # nonexistent prefix
     assert idx.search_prefix("zzzzqx", k=5).count() == 0
+
+
+def test_search_wildcard_expansion_and_identity(spark, fixture_index):
+    """Wildcard query: glob expansion over the dictionary; '<term>*'
+    must equal the prefix expansion, exact==blockmax on the expanded
+    query, and every expansion matches the glob."""
+    import fnmatch
+
+    idx = SearchIndex(spark, fixture_index["root"])
+    some_term = next(iter(idx._try_load_dict_cache() or {"def": 1}))
+    pfx = some_term[:2]
+    wc = idx.expand_wildcard(pfx + "*", max_expansions=10)
+    assert wc == idx.expand_prefix(pfx, max_expansions=10)
+    # infix glob: all hits match, sorted, capped
+    mid = idx.expand_wildcard("*" + some_term[1:-1] + "*", max_expansions=10)
+    assert some_term in mid
+    assert all(
+        fnmatch.fnmatchcase(t, "*" + some_term[1:-1] + "*") for t in mid
+    )
+    ex = idx.search_wildcard(pfx + "*", k=15, exact=True,
+                             max_expansions=10).collect()
+    bm = idx.search_wildcard(pfx + "*", k=15, exact=False,
+                             max_expansions=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in ex] == [
+        (r["doc_id"], r["score"]) for r in bm
+    ]
+    assert len(ex) > 0
+    assert idx.search_wildcard("zz?qx*", k=5).count() == 0
