@@ -543,6 +543,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _bm25_simple_topk(spark, sf, [r["term"] for r in exp], 20)
     q["wildcard_search"] = wildcard_search
 
+    def more_like_this(spark, sf):
+        # ES more_like_this: seed = doc 0's text; terms ranked by
+        # tf-idf interestingness (idf * seed-tf, ties by term), top 10
+        # run as a unit-weight OR query, seed excluded from results —
+        # the engine side is SearchIndex.more_like_this
+        toks = _doc_tokens(_t(spark, sf, "documents"))
+        n_docs = toks.count()
+        seed_tf = (
+            toks.filter(F.col("doc_id") == 0)
+            .select(F.explode("ts").alias("term"))
+            .groupBy("term").agg(F.count("*").alias("stf"))
+        )
+        dfs = (
+            toks.select("doc_id", F.explode("ts").alias("term"))
+            .distinct().groupBy("term").agg(F.count("*").alias("df"))
+        )
+        interest = (
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ) * F.col("stf")
+        )
+        sel = (
+            seed_tf.join(dfs, "term")
+            .select("term", interest.alias("i"))
+            .orderBy(F.desc("i"), F.asc("term")).limit(10).collect()
+        )
+        return _bm25_simple_topk(
+            spark, sf, [r["term"] for r in sel], 20, where="doc_id <> 0"
+        )
+    q["more_like_this"] = more_like_this
+
     # ---- training-data pipeline ops --------------------------------------
     def token_count(spark, sf):
         d = _t(spark, sf, "documents")
@@ -1329,6 +1362,28 @@ ORDER BY facet, cnt DESC, value
 
     sql["prefix_search"] = _bm25_sql([], 20, expand_prefix="ta")
     sql["wildcard_search"] = _bm25_sql([], 20, expand_prefix="%ow%")
+
+    _mlt_base = _bm25_sql([], 20, where="doc_id <> 0")
+    sql["more_like_this"] = _mlt_base.replace(
+        "t IN ()",
+        "t IN (SELECT term FROM _mlt_sel)",
+    ).replace(
+        "), dl AS (",
+        """), _seed AS (
+  SELECT unnest(ts) AS t FROM toks WHERE doc_id = 0
+), _seed_tf AS (
+  SELECT t AS term, count(*)::bigint AS stf FROM _seed GROUP BY t
+), _alldf AS (
+  SELECT t AS term, count(*)::bigint AS df
+  FROM (SELECT DISTINCT doc_id, unnest(ts) AS t FROM toks) GROUP BY t
+), _n AS (SELECT count(*)::bigint AS n_docs FROM toks),
+_mlt_sel AS (
+  SELECT st.term
+  FROM _seed_tf st JOIN _alldf d USING (term) CROSS JOIN _n
+  ORDER BY ln(1.0 + (_n.n_docs - d.df + 0.5) / (d.df + 0.5)) * st.stf DESC,
+           st.term LIMIT 10
+), dl AS (""",
+    )
 
     sql["token_count"] = f"""
         SELECT doc_id,

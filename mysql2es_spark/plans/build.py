@@ -1523,6 +1523,57 @@ class SearchIndex:
         meta = self.docstore().select("doc_id", *by)
         return facet_counts(matched.join(meta, "doc_id", "inner"), by, top_n)
 
+    def more_like_this(
+        self,
+        like_text: str,
+        k: int = 20,
+        max_query_terms: int = 25,
+        min_term_freq: int = 1,
+        lang: str | None = None,
+        repo: str | None = None,
+        exact: bool = False,
+        where=None,
+        template_bucket: str | None = None,
+        field: str | None = None,
+    ) -> DataFrame:
+        """ES more_like_this: analyze the seed text, rank its terms by
+        tf-idf interestingness (idf(df) * tf — ES's MLT selection),
+        keep the top ``max_query_terms`` (ties by term asc), and run
+        them as a unit-weight OR query through the shared scoring tail.
+
+        Term selection is driver-side: the seed is ONE document's text
+        and dfs come from the dictionary (cache: zero Spark jobs) — no
+        corpus scan happens before the pruned posting read."""
+        import collections as _c
+
+        from ..functions.bm25 import idf_py
+
+        tf_cfg = self.manifest.resolved_text_fields()
+        fld = field if field is not None else next(iter(tf_cfg))
+        if fld not in tf_cfg:
+            raise ValueError(
+                f"unknown text field {fld!r}; configured: {list(tf_cfg)}"
+            )
+        multi = len(tf_cfg) > 1
+        from ..functions.analyze import analyzer_py
+
+        counts = _c.Counter(analyzer_py(tf_cfg[fld])(like_text))
+        cand = {
+            (f"{fld}:{t}" if multi else t): c
+            for t, c in counts.items()
+            if c >= min_term_freq
+        }
+        dfs = self.term_dfs(sorted(cand))
+        n = self.manifest.n_docs_total
+        ranked = sorted(
+            ((t, idf_py(dfs[t], n) * cand[t]) for t in cand if t in dfs),
+            key=lambda x: (-x[1], x[0]),
+        )[:max_query_terms]
+        qterms = [(t, 1) for t, _ in sorted(ranked)]
+        return self._topk_for_qterms(
+            qterms, fld, k, lang, repo, exact, where, template_bucket
+        )
+
     def search_phrase(
         self,
         phrase_text: str,

@@ -202,3 +202,20 @@ def test_search_wildcard_expansion_and_identity(spark, fixture_index):
     ]
     assert len(ex) > 0
     assert idx.search_wildcard("zz?qx*", k=5).count() == 0
+
+
+def test_more_like_this_selection_and_identity(spark, fixture_index):
+    """MLT: tf-idf term selection is capped and deterministic; the
+    expanded query keeps exact==blockmax identity; the seed doc (whose
+    own text is the query) ranks first unfiltered."""
+    idx = SearchIndex(spark, fixture_index["root"])
+    src = fixture_index["log"].read_all(spark)
+    seed = src.orderBy("repo", "path").select("content").first()["content"]
+    ex = idx.more_like_this(seed, k=15, max_query_terms=8, exact=True).collect()
+    bm = idx.more_like_this(seed, k=15, max_query_terms=8).collect()
+    assert [(r["doc_id"], r["score"]) for r in ex] == [
+        (r["doc_id"], r["score"]) for r in bm
+    ]
+    assert len(ex) > 0
+    # empty seed -> empty result
+    assert idx.more_like_this("", k=5).count() == 0
