@@ -492,10 +492,33 @@ def full_build(
 ) -> Manifest:
     cfg = cfg or IndexConfig()
     lineage = LineageStore(root)
+    # within-batch upsert dedupe, same rule as apply_delta: one winner
+    # per logical (repo, path) by (version desc, tiebreak desc).  Key
+    # space only — doc_key strings, never content — feeding the id
+    # map's existing semi-join; without this a bootstrap corpus holding
+    # two revisions of a file would index both as live docs.
+    tbcol = version_tiebreak or "commit"
+    keyed = with_doc_key(corpus_df)
+    if "snapshot_id" not in keyed.columns:  # same default as build_segment
+        keyed = keyed.withColumn(
+            "snapshot_id",
+            F.lit(snapshot_id if snapshot_id is not None else 0).cast("long"),
+        )
+    keyed = keyed.withColumn(
+        "version", F.col(version_column or "snapshot_id").cast("long")
+    )
+    keep = _dedupe_latest(
+        keyed.select(
+            *dict.fromkeys(["doc_key", "repo", "path", "commit",
+                            "version", tbcol])
+        ),
+        tiebreak=tbcol,
+    ).select("doc_key")
     meta = build_segment(
         spark, corpus_df, root, "seg-000001", cfg, base=0,
         snapshot_id=snapshot_id, lineage=lineage, text_fields=text_fields,
         version_column=version_column, version_tiebreak=version_tiebreak,
+        key_filter=keep,
     )
     m = Manifest(
         version=1,
@@ -629,12 +652,15 @@ def template_routed_build(
     return m
 
 
-def _dedupe_latest(df: DataFrame) -> DataFrame:
+def _dedupe_latest(df: DataFrame, tiebreak: str = "commit") -> DataFrame:
     """Keep only the newest doc per logical key (repo, path) inside one
-    delta — max version, then commit desc (deterministic tie-break).
-    This is the U2 upsert dedup of SURVEY §2.7."""
+    batch — max version, then ``tiebreak`` desc (deterministic; the
+    user's ``version_tiebreak`` when configured, else commit).  This is
+    the U2 upsert dedup of SURVEY §2.7, applied identically to deltas
+    (apply_delta) and bootstraps (full_build) so a corpus carrying two
+    revisions of one file never indexes both."""
     w = Window.partitionBy("repo", "path").orderBy(
-        F.desc("version"), F.desc("commit")
+        F.desc("version"), F.desc(tiebreak)
     )
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -737,11 +763,15 @@ def apply_delta(
         "version", F.col(version_column or "snapshot_id").cast("long")
     )
     existing_keys = _docstores(spark, root, m).select("doc_key")
+    tbcol = version_tiebreak or "commit"
     keys = (
-        new_df.select("doc_key", "repo", "path", "commit", "version")
+        new_df.select(
+            *dict.fromkeys(["doc_key", "repo", "path", "commit",
+                            "version", tbcol])
+        )
         .join(existing_keys, "doc_key", "left_anti")
     )
-    keep = _dedupe_latest(keys).select("doc_key")
+    keep = _dedupe_latest(keys, tiebreak=tbcol).select("doc_key")
 
     if keep.isEmpty():
         m2 = Manifest(**{**_as_dict(m), "version": m.version + 1,

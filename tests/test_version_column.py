@@ -177,3 +177,23 @@ def test_version_tiebreak_mega_path_matches(spark, tmp_path):
     assert idx.manifest.n_docs_total == 30
     assert idx.search("loserterm", k=40, exact=True).count() == 0
     assert idx.search("winnerterm", k=40, exact=True).count() == 30
+
+
+def test_full_build_dedupes_logical_key_like_apply_delta(spark, tmp_path):
+    """A bootstrap corpus carrying two versions of one (repo, path) must
+    index only the winner — the same U2 rule apply_delta applies to
+    deltas (higher version wins; commit desc breaks version ties)."""
+    root = str(tmp_path / "idx")
+    m = full_build(
+        spark,
+        _df(spark, [
+            ("r0", "a.py", "c1", "py", "oldterm body", 100, 1),
+            ("r0", "a.py", "c2", "py", "newterm body", 200, 1),
+        ]),
+        root, TEST_CFG, snapshot_id=1, version_column="mtime",
+    )
+    assert m.n_docs_total == 1
+    idx = SearchIndex(spark, root)
+    assert idx.docstore().first()["commit"] == "c2"
+    assert idx.search("newterm", k=5, exact=True).count() == 1
+    assert idx.search("oldterm", k=5, exact=True).count() == 0
