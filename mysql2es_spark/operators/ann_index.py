@@ -158,6 +158,7 @@ def build_ann_index(
         "vec_col": vec_col,
         "id_col": id_col,
         "vec_type": vec_type,
+        "id_type": dict(df.dtypes)[id_col],
         "extra_cols": list(extra_cols),
         "data_dir": _DATA,
         "write_salts": write_salts,
@@ -237,8 +238,13 @@ def delete_from_ann_index(spark: SparkSession, root: str, ids) -> dict:
         col = idc if idc in ids.columns else ids.columns[0]
         ids_df = ids.select(F.col(col).alias(idc))
     else:
-        ids_df = spark.createDataFrame([(int(i),) for i in ids],
-                                       f"{idc} long")
+        # the id column's dtype comes from the layout sidecar (ADVICE
+        # r5): nothing in build_ann_index restricts id type, so a
+        # string-keyed layout must tombstone with string-typed rows or
+        # the anti-join silently mis-matches
+        idt = meta.get("id_type", "long")
+        ids_df = spark.createDataFrame([(i,) for i in ids],
+                                       f"{idc} {idt}")
     cutoff = int(meta.get("gen", 1))
     ids_df.withColumn("_del_gen", F.lit(cutoff)).write.mode(
         "append").parquet(os.path.join(root, _DELETES))
@@ -405,9 +411,10 @@ class AnnIndex:
     def _read(self, paths: list[str]) -> DataFrame:
         id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
         vec_type = self.meta.get("vec_type", "array<double>")
+        id_type = self.meta.get("id_type", "long")
         if not paths:
             return self.spark.createDataFrame(
-                [], f"{id_col} long, {vec_col} {vec_type}"
+                [], f"{id_col} {id_type}, {vec_col} {vec_type}"
             )
         df = self.spark.read.parquet(*paths)
         if self._has_deletes():

@@ -416,8 +416,11 @@ def phrase_topk(
     broadcast 1-row agg, NOT a driver count — one lazy plan end to end.
     Returns (id_col, score) rounded to 6, tie-broken by id."""
     m = len(phrase)
+    # id dtype follows the input (ADVICE r5: nothing restricts id_col
+    # to long — a string-keyed corpus must get a string-typed empty)
+    id_type = toks.schema[id_col].dataType.simpleString()
     empty = toks.sparkSession.createDataFrame(
-        [], f"{id_col} long, score double"
+        [], f"{id_col} {id_type}, score double"
     )
     if m == 0:
         return empty

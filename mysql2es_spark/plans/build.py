@@ -492,28 +492,9 @@ def full_build(
 ) -> Manifest:
     cfg = cfg or IndexConfig()
     lineage = LineageStore(root)
-    # within-batch upsert dedupe, same rule as apply_delta: one winner
-    # per logical (repo, path) by (version desc, tiebreak desc).  Key
-    # space only — doc_key strings, never content — feeding the id
-    # map's existing semi-join; without this a bootstrap corpus holding
-    # two revisions of a file would index both as live docs.
-    tbcol = version_tiebreak or "commit"
-    keyed = with_doc_key(corpus_df)
-    if "snapshot_id" not in keyed.columns:  # same default as build_segment
-        keyed = keyed.withColumn(
-            "snapshot_id",
-            F.lit(snapshot_id if snapshot_id is not None else 0).cast("long"),
-        )
-    keyed = keyed.withColumn(
-        "version", F.col(version_column or "snapshot_id").cast("long")
+    keep = _bootstrap_key_filter(
+        corpus_df, snapshot_id, version_column, version_tiebreak
     )
-    keep = _dedupe_latest(
-        keyed.select(
-            *dict.fromkeys(["doc_key", "repo", "path", "commit",
-                            "version", tbcol])
-        ),
-        tiebreak=tbcol,
-    ).select("doc_key")
     meta = build_segment(
         spark, corpus_df, root, "seg-000001", cfg, base=0,
         snapshot_id=snapshot_id, lineage=lineage, text_fields=text_fields,
@@ -605,6 +586,15 @@ def template_routed_build(
         for d in fs.listdir(spill)
         if d.startswith("index_bucket=")
     )
+    # bootstrap upsert dedupe (ADVICE r5: both bootstrap entry points
+    # must honor the U2 contract) — computed over the SPILL's key
+    # columns (one pruned columnar read, never the source again) and
+    # GLOBAL across buckets, so two dated revisions of one file never
+    # both go live even when routed to different months
+    keep = _bootstrap_key_filter(
+        spark.read.parquet(spill), snapshot_id,
+        version_column, version_tiebreak,
+    )
     base = 0
     segments: list[SegmentMeta] = []
     for i, b in enumerate(buckets, start=1):
@@ -620,6 +610,7 @@ def template_routed_build(
             base=base,
             snapshot_id=snapshot_id,
             lineage=lineage,
+            key_filter=keep,
             extra_doc_cols=["index_bucket"],
             template_bucket=b,
             text_fields=text_fields,
@@ -650,6 +641,42 @@ def template_routed_build(
     publish(root, m)
     fs.delete(spill)
     return m
+
+
+def _bootstrap_key_filter(
+    corpus_df: DataFrame,
+    snapshot_id: int | None,
+    version_column: str | None,
+    version_tiebreak: str | None,
+) -> DataFrame:
+    """Within-batch upsert dedupe for BOOTSTRAP corpora, same rule as
+    apply_delta: one winner per logical (repo, path) by (version desc,
+    tiebreak desc).  Key space only — doc_key strings, never content —
+    feeding the id map's existing semi-join; without this a bootstrap
+    corpus holding two revisions of a file would index both as live
+    docs.  Shared by BOTH bootstrap entry points (full_build and
+    template_routed_build — ADVICE r5: the two must agree on the U2
+    upsert contract); for routed builds the dedupe is GLOBAL across
+    time buckets, so two revisions of one file dated into different
+    months still yield one live doc, matching what the equivalent
+    flat index would serve."""
+    tbcol = version_tiebreak or "commit"
+    keyed = with_doc_key(corpus_df)
+    if "snapshot_id" not in keyed.columns:  # same default as build_segment
+        keyed = keyed.withColumn(
+            "snapshot_id",
+            F.lit(snapshot_id if snapshot_id is not None else 0).cast("long"),
+        )
+    keyed = keyed.withColumn(
+        "version", F.col(version_column or "snapshot_id").cast("long")
+    )
+    return _dedupe_latest(
+        keyed.select(
+            *dict.fromkeys(["doc_key", "repo", "path", "commit",
+                            "version", tbcol])
+        ),
+        tiebreak=tbcol,
+    ).select("doc_key")
 
 
 def _dedupe_latest(df: DataFrame, tiebreak: str = "commit") -> DataFrame:
@@ -1244,15 +1271,17 @@ class SearchIndex:
         def dec(batches):
             for pdf in batches:
                 outs = []
-                for _, r in pdf.iterrows():
-                    docs = np.cumsum(decode_varints(r["docs"])).astype(np.int64)
+                # itertuples: ~5x cheaper per block row than iterrows
+                # (no per-row Series construction; VERDICT r5 #8)
+                for r in pdf.itertuples(index=False):
+                    docs = np.cumsum(decode_varints(r.docs)).astype(np.int64)
                     outs.append(
                         pd.DataFrame(
                             {
-                                "term": r["term"],
+                                "term": r.term,
                                 "doc_id": docs,
-                                "tf": decode_varints(r["tfs"]).astype(np.int64),
-                                "dl": decode_varints(r["dls"]).astype(np.int64),
+                                "tf": decode_varints(r.tfs).astype(np.int64),
+                                "dl": decode_varints(r.dls).astype(np.int64),
                             }
                         )
                     )
@@ -1413,10 +1442,26 @@ class SearchIndex:
         dictionary (the field's namespace), sorted, first
         ``max_expansions``.  Same cost shape as ``expand_prefix`` —
         dictionary only, never postings or corpus; the driver cache path
-        uses fnmatch, the Spark path a LIKE translation (terms are
-        tokenizer output — alphanumeric — so no LIKE metacharacter
-        escaping is needed)."""
+        uses fnmatch, the Spark path a LIKE translation.
+
+        Only ``*`` and ``?`` are wildcard metacharacters (the ES
+        wildcard-query contract): ``[`` is rejected up front because
+        fnmatch would honor character classes while LIKE would not —
+        the two paths must expand identically (VERDICT r5 #6) — and any
+        literal ``%`` / ``_`` / ``\\`` in the pattern is escaped before
+        the LIKE translation so it stays literal on the Spark path too
+        (ADVICE r5).  Cost note (the same one ES documents): a
+        leading-``*`` pattern cannot use the term order and scans the
+        whole dictionary — dictionary-sized (term cardinality, tiny
+        next to postings), but the slowest expansion shape."""
         import fnmatch
+
+        if "[" in pattern:
+            raise ValueError(
+                "wildcard patterns support only '*' and '?' "
+                "(got a '[' — character classes are not part of the "
+                "ES wildcard contract)"
+            )
 
         tf_cfg = self.manifest.resolved_text_fields()
         fld = field if field is not None else next(iter(tf_cfg))
@@ -1441,7 +1486,13 @@ class SearchIndex:
         ]
         if not dict_paths:
             return []
-        like = pattern.replace("*", "%").replace("?", "_")
+        like = (
+            pattern.replace("\\", "\\\\")
+            .replace("%", "\\%")
+            .replace("_", "\\_")
+            .replace("*", "%")
+            .replace("?", "_")
+        )
         df = self.spark.read.parquet(*dict_paths).select("term").distinct()
         if ns:
             df = df.filter(F.col("term").startswith(ns))
@@ -1679,9 +1730,19 @@ class SearchIndex:
         src = with_doc_key(source_df).select(
             "doc_key", F.col(fld).alias("_text")
         )
+        # dropDuplicates(doc_id) AFTER the join: a snapshot log carrying
+        # replayed rows (same repo/path/commit in two snapshots — the
+        # compensation scenario) would otherwise yield duplicate
+        # candidate rows per doc_id, inflating the phrase-df denominator
+        # and repeating doc_ids in the top-k (ADVICE r5 medium).
+        # doc_key includes the commit, so replays are byte-identical and
+        # any winner is valid; deduping post-join keeps the shuffle
+        # bounded by the candidate set, never the corpus.
         cand_toks = (
             cand_meta.select("doc_id", "doc_key")
             .join(src, "doc_key", "inner")
+            .select("doc_id", F.col("_text"))
+            .dropDuplicates(["doc_id"])
             .select("doc_id", analyzer_col(az)(F.col("_text")).alias("_ts"))
         )
         top = phrase_topk(
@@ -1705,19 +1766,24 @@ def _drop_dead_block_rows(pdf: pd.DataFrame, dead: np.ndarray) -> pd.DataFrame:
     """Rewrite posting block rows dropping ``dead`` doc_ids (sorted
     uint64).  Blocks with no dead id in [first_doc, last_doc] pass
     through untouched; emptied blocks disappear."""
+    cols = list(pdf.columns)
     rows = []
-    for _, r in pdf.iterrows():
+    # itertuples + dict rows: ~5x cheaper per block row than iterrows'
+    # per-row Series construction/copy (VERDICT r5 #8); columns are
+    # re-ordered to the input frame's layout before returning
+    for r in pdf.itertuples(index=False):
+        d = dict(zip(cols, r))
         if dead.size:
-            lo = np.searchsorted(dead, np.uint64(r["first_doc"]))
-            hit = lo < dead.size and dead[lo] <= np.uint64(r["last_doc"])
+            lo = np.searchsorted(dead, np.uint64(d["first_doc"]))
+            hit = lo < dead.size and dead[lo] <= np.uint64(d["last_doc"])
         else:
             hit = False
         if not hit:
-            rows.append(r)
+            rows.append(d)
             continue
-        docs = np.cumsum(decode_varints(r["docs"])).astype(np.uint64)
-        tfs = decode_varints(r["tfs"])
-        dls = decode_varints(r["dls"])
+        docs = np.cumsum(decode_varints(d["docs"])).astype(np.uint64)
+        tfs = decode_varints(d["tfs"])
+        dls = decode_varints(d["dls"])
         pos = np.minimum(np.searchsorted(dead, docs), dead.size - 1)
         keep = dead[pos] != docs
         docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
@@ -1726,17 +1792,18 @@ def _drop_dead_block_rows(pdf: pd.DataFrame, dead: np.ndarray) -> pd.DataFrame:
         gaps = np.empty_like(docs)
         gaps[0] = docs[0]
         np.subtract(docs[1:], docs[:-1], out=gaps[1:])
-        r = r.copy()
-        r["n"] = int(docs.size)
-        r["first_doc"] = int(docs[0])
-        r["last_doc"] = int(docs[-1])
-        r["max_tf"] = int(tfs.max())
-        r["min_dl"] = int(dls.min())
-        r["docs"] = encode_varints(gaps)
-        r["tfs"] = encode_varints(tfs)
-        r["dls"] = encode_varints(dls)
-        rows.append(r)
-    return pd.DataFrame(rows) if rows else pdf.iloc[0:0]
+        d["n"] = int(docs.size)
+        d["first_doc"] = int(docs[0])
+        d["last_doc"] = int(docs[-1])
+        d["max_tf"] = int(tfs.max())
+        d["min_dl"] = int(dls.min())
+        d["docs"] = encode_varints(gaps)
+        d["tfs"] = encode_varints(tfs)
+        d["dls"] = encode_varints(dls)
+        rows.append(d)
+    return (
+        pd.DataFrame(rows, columns=cols) if rows else pdf.iloc[0:0]
+    )
 
 
 def compact(
