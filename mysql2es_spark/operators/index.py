@@ -73,6 +73,17 @@ class IndexConfig:
                                  # (zero-job df lookup); above it — the
                                  # 10^12-file regime — queries fall back
                                  # to bucket-pruned Spark dictionary reads
+    token_store: bool = False
+                                 # opt-in per-segment chunk-partitioned
+                                 # (doc_id, tokens) store so phrase
+                                 # verification / MLT-by-id read only the
+                                 # candidate chunks instead of the source
+                                 # corpus (VERDICT r5 #2).  Costs ~one
+                                 # tokenized copy of each text field on
+                                 # disk and one extra analysis pass at
+                                 # build time; worth it for phrase-heavy
+                                 # indexes, skip it otherwise (queries
+                                 # fall back to the source-join path)
 
 
 _MID_MASK = (1 << 33) - 1

@@ -165,10 +165,19 @@ def build_segment(
     post_path = os.path.join(seg_dir, "postings")
     dict_path = os.path.join(seg_dir, "dictionary")
     build_id = build_id or new_build_id()
+    tok_field_dirs = (
+        [
+            os.path.join(seg_dir, "tokens", fcol)
+            for fcol in (text_fields or {"content": "code"})
+        ]
+        if cfg.token_store
+        else []
+    )
 
     meta = None
     if not (stage_done(doc_path) and stage_done(post_path)
-            and stage_done(dict_path)):
+            and stage_done(dict_path)
+            and all(stage_done(p) for p in tok_field_dirs)):
         df = with_doc_key(corpus_df)
         if "snapshot_id" not in df.columns:
             df = df.withColumn(
@@ -347,6 +356,39 @@ def build_segment(
             write_postings(blocks, post_path)
         if not stage_done(dict_path):
             write_dictionary(spark, post_path, dict_path)
+        if cfg.token_store:
+            # chunk-partitioned (doc_id, tokens) store (VERDICT r5 #2):
+            # phrase verification / MLT-by-id then read ONLY candidate
+            # chunks — the same path-pruning machinery as postings() —
+            # instead of scanning the source corpus per query.  One
+            # extra analysis pass per field; the write is partitionBy
+            # with NO repartition, so token arrays never enter an
+            # Exchange on the broadcast-id path (file count per chunk
+            # is bounded by the scan's task count).  On the mega-build
+            # path the id join itself is the one shuffle of tokenized
+            # text — the documented cost of opting in at bootstrap
+            # scale.
+            from ..functions.analyze import analyzer_col
+
+            if n_docs <= cfg.broadcast_id_threshold:
+                tok_src = with_ids
+            else:
+                tok_src = df.join(ids, ["doc_key", "version", *tb])
+            for fcol, an in fields:
+                fdir = os.path.join(seg_dir, "tokens", fcol)
+                if stage_done(fdir):
+                    continue
+                (
+                    tok_src.select(
+                        "doc_id", analyzer_col(an)(F.col(fcol)).alias("ts")
+                    )
+                    .withColumn(
+                        "chunk", F.expr(f"doc_id div {int(cfg.chunk_span)}")
+                    )
+                    .write.mode("overwrite")
+                    .partitionBy("chunk")
+                    .parquet(fdir)
+                )
         # corpus stats from the docstore parquet, which is already
         # replay-deduped (ADVICE r2 high: a duplicated batch must not
         # double sum_dl and skew avgdl/BM25) — one cheap column-pruned
@@ -1296,6 +1338,64 @@ class SearchIndex:
             dec, "term string, doc_id long, tf long, dl long"
         )
 
+    def _token_dirs(self, fld: str) -> list[str] | None:
+        """Per-segment token-store dirs for ``fld`` (built when
+        ``IndexConfig.token_store`` is on) — None unless EVERY segment
+        carries one, so a partially covered index falls back to the
+        source-join path wholesale rather than serving a mixed read."""
+        if not hasattr(self, "_token_dir_cache"):
+            self._token_dir_cache: dict[str, list[str] | None] = {}
+        if fld not in self._token_dir_cache:
+            dirs = [
+                os.path.join(self.root, "segments", s.name, "tokens", fld)
+                for s in self.manifest.segments
+            ]
+            self._token_dir_cache[fld] = (
+                dirs if dirs and all(self._fs.is_dir(d) for d in dirs)
+                else None
+            )
+        return self._token_dir_cache[fld]
+
+    def _token_chunk_dirs(self, tok_dir: str) -> list[int]:
+        """chunk= partition dirs of one token-store dir (cached —
+        segments are immutable once published)."""
+        if not hasattr(self, "_token_chunk_cache"):
+            self._token_chunk_cache: dict[str, list[int]] = {}
+        if tok_dir not in self._token_chunk_cache:
+            self._token_chunk_cache[tok_dir] = sorted(
+                int(d.split("=", 1)[1])
+                for d in self._fs.listdir(tok_dir)
+                if d.startswith("chunk=")
+            )
+        return self._token_chunk_cache[tok_dir]
+
+    def token_chunks(
+        self, fld: str, chunks: list[int] | None = None
+    ) -> DataFrame:
+        """(doc_id, ts) token rows for ``fld``, reading ONLY the listed
+        doc_id chunks — one multi-path read across segments, the same
+        leaf-dir pruning shape as ``postings()`` (assertable via
+        ``inputFiles``).  ``chunks=None`` reads every chunk (still the
+        token store, never the source corpus)."""
+        dirs = self._token_dirs(fld)
+        if dirs is None:
+            raise FileNotFoundError(
+                f"no token store for field {fld!r} under {self.root} "
+                "(build with IndexConfig(token_store=True))"
+            )
+        want = set(chunks) if chunks is not None else None
+        paths = [
+            os.path.join(d, f"chunk={c}")
+            for d in dirs
+            for c in self._token_chunk_dirs(d)
+            if want is None or c in want
+        ]
+        if not paths:
+            return self.spark.createDataFrame(
+                [], "doc_id long, ts array<string>"
+            )
+        return self.spark.read.parquet(*paths).select("doc_id", "ts")
+
     def _doc_filter(
         self, lang: str | None, repo: str | None, where=None
     ) -> tuple[DataFrame | None, DataFrame | None]:
@@ -1658,12 +1758,13 @@ class SearchIndex:
     def search_phrase(
         self,
         phrase_text: str,
-        source_df: DataFrame,
+        source_df: DataFrame | None = None,
         k: int = 20,
         lang: str | None = None,
         repo: str | None = None,
         where=None,
         field: str | None = None,
+        max_pruned_chunks: int = 65_536,
     ) -> DataFrame:
         """match_phrase over a position-free index (ES delegates phrases
         to positional postings, README-EN.org:186-187; we keep postings
@@ -1673,16 +1774,33 @@ class SearchIndex:
         Phase 1 (index): read ONLY the phrase terms' posting buckets
         (the same partition/row-group pruning as ``search``) and keep
         docs containing ALL distinct terms — candidate count is bounded
-        by the rarest term's df, not the corpus.  Phase 2 (source):
-        semi-join ``source_df`` (the snapshot-log corpus; content never
-        lives in the index — content-free dataflow) on doc_key so the
-        source scan reads only candidate docs, re-tokenize with the
-        field's analyzer, and count exact consecutive occurrences
-        (``operators.search.phrase_count`` — codegen, no UDF for the
-        'simple' analyzer).  Scoring: BM25 with the phrase as one
+        by the rarest term's df, not the corpus.
+
+        Phase 2 (verification) — two layouts, chosen per index:
+
+        - **token store** (``IndexConfig.token_store=True`` at build):
+          candidates map to doc_id chunks and phase 2 reads ONLY those
+          ``chunk=`` partitions of the per-segment token store
+          (``token_chunks`` — file-level pruning, VERDICT r5 #2), so a
+          phrase whose rarest term has df=3 touches 1-3 chunks of
+          tokens, never the corpus.  ``source_df`` is not needed.
+        - **source join** (fallback when the index has no token store):
+          semi-join ``source_df`` (the snapshot-log corpus; content
+          never lives in the index) on doc_key and re-tokenize with the
+          field's analyzer.  This filters *rows*, not *files* — at
+          corpus scale every phrase query pays a full source-column
+          scan, which is why phrase-heavy indexes should opt into the
+          token store.
+
+        Both layouts count exact consecutive occurrences
+        (``operators.search.phrase_count`` — codegen higher-order
+        functions, no UDF) and score BM25 with the phrase as one
         pseudo-term (tf = occurrences, df = verified phrase df over
         live docs; N/avgdl from the manifest, matching ``search``'s
         stats conventions).  Tombstoned docs are excluded in phase 1.
+        ``max_pruned_chunks`` caps the driver-side chunk enumeration:
+        beyond it the token store is read unpruned (still never the
+        source).
         """
         from ..operators.search import analyze_query, phrase_topk
         from ..functions.analyze import analyzer_col
@@ -1724,27 +1842,57 @@ class SearchIndex:
             "doc_id", "doc_key", "repo", "path", "lang"
         )
         cand_meta = cand_ids.join(meta, "doc_id", "inner")
-        # phase 2: fetch ONLY candidate docs' text from the source and
-        # verify adjacency; doc_key semi-join pushes the candidate set
-        # into the source scan
-        src = with_doc_key(source_df).select(
-            "doc_key", F.col(fld).alias("_text")
-        )
-        # dropDuplicates(doc_id) AFTER the join: a snapshot log carrying
-        # replayed rows (same repo/path/commit in two snapshots — the
-        # compensation scenario) would otherwise yield duplicate
-        # candidate rows per doc_id, inflating the phrase-df denominator
-        # and repeating doc_ids in the top-k (ADVICE r5 medium).
-        # doc_key includes the commit, so replays are byte-identical and
-        # any winner is valid; deduping post-join keeps the shuffle
-        # bounded by the candidate set, never the corpus.
-        cand_toks = (
-            cand_meta.select("doc_id", "doc_key")
-            .join(src, "doc_key", "inner")
-            .select("doc_id", F.col("_text"))
-            .dropDuplicates(["doc_id"])
-            .select("doc_id", analyzer_col(az)(F.col("_text")).alias("_ts"))
-        )
+        # phase 2: fetch ONLY candidate docs' tokens/text and verify
+        # adjacency
+        if self._token_dirs(fld) is not None:
+            # token-store path: checkpoint phase 1 so the chunk
+            # enumeration (one driver collect, bounded by
+            # candidates/chunk_span) and the semi-join share one run
+            cand_ids = cand_ids.localCheckpoint()
+            span = self.manifest.chunk_span
+            chunk_rows = (
+                cand_ids.select(
+                    F.expr(f"doc_id div {int(span)}").alias("c")
+                ).distinct().collect()
+            )
+            chunks: list[int] | None = sorted(int(r["c"]) for r in chunk_rows)
+            if not chunks:
+                return empty
+            if len(chunks) > max_pruned_chunks:
+                chunks = None  # path-list too wide: unpruned store read
+            cand_toks = (
+                self.token_chunks(fld, chunks)
+                .join(cand_ids, "doc_id", "left_semi")
+                .select("doc_id", F.col("ts").alias("_ts"))
+            )
+        elif source_df is None:
+            raise ValueError(
+                f"index at {self.root} has no token store for field "
+                f"{fld!r}; pass source_df (the snapshot-log corpus) or "
+                "rebuild with IndexConfig(token_store=True)"
+            )
+        else:
+            src = with_doc_key(source_df).select(
+                "doc_key", F.col(fld).alias("_text")
+            )
+            # dropDuplicates(doc_id) AFTER the join: a snapshot log
+            # carrying replayed rows (same repo/path/commit in two
+            # snapshots — the compensation scenario) would otherwise
+            # yield duplicate candidate rows per doc_id, inflating the
+            # phrase-df denominator and repeating doc_ids in the top-k
+            # (ADVICE r5 medium).  doc_key includes the commit, so
+            # replays are byte-identical and any winner is valid;
+            # deduping post-join keeps the shuffle bounded by the
+            # candidate set, never the corpus.
+            cand_toks = (
+                cand_meta.select("doc_id", "doc_key")
+                .join(src, "doc_key", "inner")
+                .select("doc_id", F.col("_text"))
+                .dropDuplicates(["doc_id"])
+                .select(
+                    "doc_id", analyzer_col(az)(F.col("_text")).alias("_ts")
+                )
+            )
         top = phrase_topk(
             cand_toks, "_ts", "doc_id", phrase, k,
             n_docs=self.manifest.n_docs_total,
@@ -2013,6 +2161,42 @@ def compact(
         if tomb_df is not None:
             store = store.join(tomb_df, "doc_id", "left_anti")
         store.write.mode("overwrite").parquet(out_doc)
+
+        # carry the token store forward (phrase/MLT pruning must survive
+        # compaction): merge each field's chunk partitions from every
+        # victim, drop dead docs, rewrite chunk-partitioned into the
+        # merged segment.  Only when EVERY victim in the group has the
+        # field's store — mixed groups degrade to the source-join
+        # fallback, same rule as SearchIndex._token_dirs.
+        for fcol in idx.manifest.resolved_text_fields():
+            vic_dirs = [
+                os.path.join(root, "segments", s.name, "tokens", fcol)
+                for s in group
+            ]
+            if not vic_dirs or not all(idx._fs.is_dir(d) for d in vic_dirs):
+                continue
+            leaf = [
+                os.path.join(d, f"chunk={c}")
+                for d in vic_dirs
+                for c in idx._token_chunk_dirs(d)
+            ]
+            if not leaf:
+                continue
+            tok = spark.read.parquet(*leaf).withColumn(
+                "chunk",
+                F.regexp_extract(
+                    F.input_file_name(), r"/chunk=(\d+)/", 1
+                ).cast("long"),
+            )
+            if tomb_df is not None:
+                tok = tok.join(tomb_df, "doc_id", "left_anti")
+            (
+                tok.write.mode("overwrite")
+                .partitionBy("chunk")
+                .parquet(
+                    os.path.join(root, "segments", merged_name, "tokens", fcol)
+                )
+            )
 
         tfields = list((m.text_fields or {}).keys())
         extra_aggs = [
