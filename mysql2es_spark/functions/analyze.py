@@ -247,6 +247,37 @@ def tokenize_simple_py(text: str) -> list[str]:
     return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
 
 
+def levenshtein_py(a: str, b: str, max_dist: int) -> int:
+    """Banded Levenshtein distance with early exit: returns the exact
+    edit distance when it is <= ``max_dist``, else ``max_dist + 1``.
+    Driver-side twin of Spark's ``F.levenshtein`` / DuckDB's
+    ``levenshtein`` (plain insert/delete/substitute, no transposition)
+    — the three must agree for the fuzzy-expansion oracle parity.
+    Used over the dictionary cache: one row of the DP matrix at a time,
+    O(len(a)*len(b)) worst case but rows abandon as soon as their
+    minimum exceeds the band."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > max_dist:
+        return max_dist + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        ca = a[i - 1]
+        cur = [i] + [0] * lb
+        best = i
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != b[j - 1]),
+            )
+            if cur[j] < best:
+                best = cur[j]
+        if best > max_dist:
+            return max_dist + 1
+        prev = cur
+    return prev[lb] if prev[lb] <= max_dist else max_dist + 1
+
+
 def normalize_keyword(col: Column | str) -> Column:
     """The reference's custom normalizer: trim + lowercase
     (README-EN.org:190-196)."""
