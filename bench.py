@@ -171,9 +171,53 @@ def run_suite(cores: int, n_files: int, workdir: str,
         idx.search_phrase(phrase, corpus, k=20).collect()
         timings["phrase_topk"] = time.time() - t0
 
+        # r6 token-store A/B on a ~20k-file slice: the chunk-pruned
+        # phrase phase 2 vs the full source join (VERDICT r5 #2) — the
+        # headline index stays store-less so index_build remains
+        # comparable round-over-round
+        import dataclasses
+
+        frac_ts = max(1, n_files // 20_000)
+        sl = corpus.filter(
+            F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(frac_ts)) == 0
+        )
+        tcfg = dataclasses.replace(_cfg(max(n_files // frac_ts, 1), cores),
+                                   token_store=True)
+        troot = os.path.join(workdir, f"tokidx_c{cores}")
+        shutil.rmtree(troot, ignore_errors=True)
+        t0 = time.time()
+        full_build(spark, sl, troot, tcfg, snapshot_id=1)
+        timings["tokstore_build_20k"] = time.time() - t0
+        sl_ts = sl.orderBy("repo", "path").select(
+            tokenize_code("content").alias("ts")
+        ).first()["ts"]
+        sl_phrase = " ".join(sl_ts[:2])
+        tidx = SearchIndex(spark, troot, tcfg)
+        t0 = time.time()
+        tidx.search_phrase(sl_phrase, k=20).collect()
+        timings["phrase_store_20k"] = time.time() - t0
+        tidx_src = SearchIndex(spark, troot, tcfg)
+        tidx_src._token_dir_cache = {"content": None}
+        t0 = time.time()
+        tidx_src.search_phrase(sl_phrase, sl, k=20).collect()
+        timings["phrase_source_20k"] = time.time() - t0
+
         t0 = time.time()
         idx.search_prefix("pa", k=20).collect()
         timings["prefix_topk"] = time.time() - t0
+
+        # r6 surface: bool (conjunctive + exclusion through pruned id
+        # sets) and fuzzy (dictionary edit-distance expansion)
+        t0 = time.time()
+        idx.search_bool(
+            must="import return", should="parse token",
+            must_not="zzqqxx", k=20,
+        ).collect()
+        timings["bool_topk"] = time.time() - t0
+
+        t0 = time.time()
+        idx.search_fuzzy("imprt", fuzziness=1, k=20).collect()
+        timings["fuzzy_topk"] = time.time() - t0
 
         t0 = time.time()
         idx.facets(BENCH_QUERIES[0], by=["lang", "repo"], top_n=10).collect()

@@ -16,7 +16,11 @@ bookkeeping through the Hadoop FileSystem API (``mysql2es_spark.sources.fs``).
 
 Subcommands mirror the reference daemon's modes (README-EN.org:46-49,
 71-77): ``full`` (bootstrap), ``sync`` (incremental), ``compensate``
-(late-data window), ``compact``, ``search``, ``daemon`` (cron loop).
+(late-data window), ``compact``, ``search`` (+ ``search-phrase``,
+``search-prefix``, ``search-wildcard``, ``search-bool``,
+``search-fuzzy``, ``mlt``, ``facets`` — the ES query surface the
+reference's users get from the delegate), ``daemon`` (cron loop), and
+the ``ann-*`` vector-layout lifecycle.
 
 In local mode the same script runs as ``python scripts/build_index_job.py
 ... --cores 32``.
@@ -41,7 +45,8 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="build_index_job")
     ap.add_argument("mode", choices=[
         "full", "sync", "compensate", "compact", "search",
-        "search-phrase", "search-prefix", "search-wildcard", "facets", "daemon",
+        "search-phrase", "search-prefix", "search-wildcard",
+        "search-bool", "search-fuzzy", "mlt", "facets", "daemon",
         "ann-build", "ann-search", "ann-upsert", "ann-delete",
         "ann-compact",
     ])
@@ -99,6 +104,24 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-expansions", type=int, default=50,
                     help="search-prefix mode: dictionary expansion cap "
                          "(ES prefix-rewrite size)")
+    ap.add_argument("--must", help="search-bool: required clause text")
+    ap.add_argument("--should", help="search-bool: optional scoring clause")
+    ap.add_argument("--must-not", help="search-bool: exclusion clause")
+    ap.add_argument("--must-boost", type=float, default=1.0)
+    ap.add_argument("--should-boost", type=float, default=1.0)
+    ap.add_argument("--fuzziness", type=int, default=1,
+                    help="search-fuzzy: max edit distance (0-2)")
+    ap.add_argument("--prefix-length", type=int, default=0,
+                    help="search-fuzzy: exact-match leading chars")
+    ap.add_argument("--mlt-doc-id", type=int, default=None,
+                    help="mlt: seed by indexed doc id (token store or "
+                         "--log-root source fetch); else --query is the "
+                         "seed text")
+    ap.add_argument("--mlt-max-terms", type=int, default=25)
+    ap.add_argument("--token-store", action="store_true",
+                    help="full/sync: also write the chunk-partitioned "
+                         "token store (phrase/MLT-by-id read candidate "
+                         "chunks instead of the source corpus)")
     ap.add_argument("--facet-by", default="lang",
                     help="facets mode: comma-separated doc-store columns")
     ap.add_argument("--top-n", type=int, default=None,
@@ -128,6 +151,7 @@ def main(argv: list[str] | None = None) -> int:
         n_salts=args.n_salts,
         id_partitions=args.id_partitions,
         chunk_span=args.chunk_span,
+        token_store=args.token_store,
     )
 
     if args.mode == "search":
@@ -145,12 +169,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.mode == "search-phrase":
-        if not args.log_root:
-            ap.error("--log-root required for search-phrase (adjacency is "
-                     "verified against the snapshot-log source; the index "
-                     "is content-free)")
+        # token-store indexes verify adjacency from their own pruned
+        # chunk reads; store-less indexes need the snapshot-log source
+        # (the index is content-free)
         idx = SearchIndex(spark, args.index_root, cfg)
-        src = SnapshotLog(args.log_root).read_all(spark)
+        src = (SnapshotLog(args.log_root).read_all(spark)
+               if args.log_root else None)
         rows = idx.search_phrase(
             args.query or "", src, k=args.k, lang=args.lang,
             repo=args.repo, where=args.where, field=args.field,
@@ -184,6 +208,58 @@ def main(argv: list[str] | None = None) -> int:
             exact=args.exact, where=args.where, field=args.field,
             template_bucket=args.template_bucket,
             max_expansions=args.max_expansions,
+        ).collect()
+        for r in rows:
+            print(json.dumps(
+                {"doc_key": r["doc_key"], "score": r["score"],
+                 "repo": r["repo"], "path": r["path"], "lang": r["lang"]}
+            ))
+        return 0
+
+    if args.mode == "search-bool":
+        idx = SearchIndex(spark, args.index_root, cfg)
+        rows = idx.search_bool(
+            must=args.must, should=args.should, must_not=args.must_not,
+            must_boost=args.must_boost, should_boost=args.should_boost,
+            k=args.k, lang=args.lang, repo=args.repo, exact=args.exact,
+            where=args.where, field=args.field,
+            template_bucket=args.template_bucket,
+        ).collect()
+        for r in rows:
+            print(json.dumps(
+                {"doc_key": r["doc_key"], "score": r["score"],
+                 "repo": r["repo"], "path": r["path"], "lang": r["lang"]}
+            ))
+        return 0
+
+    if args.mode == "search-fuzzy":
+        idx = SearchIndex(spark, args.index_root, cfg)
+        rows = idx.search_fuzzy(
+            args.query or "", fuzziness=args.fuzziness, k=args.k,
+            lang=args.lang, repo=args.repo, exact=args.exact,
+            where=args.where, field=args.field,
+            template_bucket=args.template_bucket,
+            max_expansions=args.max_expansions,
+            prefix_length=args.prefix_length,
+        ).collect()
+        for r in rows:
+            print(json.dumps(
+                {"doc_key": r["doc_key"], "score": r["score"],
+                 "repo": r["repo"], "path": r["path"], "lang": r["lang"]}
+            ))
+        return 0
+
+    if args.mode == "mlt":
+        idx = SearchIndex(spark, args.index_root, cfg)
+        src = (SnapshotLog(args.log_root).read_all(spark)
+               if args.log_root else None)
+        rows = idx.more_like_this(
+            args.query if args.mlt_doc_id is None else None,
+            doc_id=args.mlt_doc_id, source_df=src,
+            max_query_terms=args.mlt_max_terms, k=args.k,
+            lang=args.lang, repo=args.repo, exact=args.exact,
+            where=args.where, field=args.field,
+            template_bucket=args.template_bucket,
         ).collect()
         for r in rows:
             print(json.dumps(
