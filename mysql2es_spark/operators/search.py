@@ -455,6 +455,97 @@ def phrase_topk(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def phrase_prefix_count(ts, head: list[str], prefix: str):
+    """Column: occurrences of ``head + <any term starting with prefix>``
+    as consecutive tokens in array column ``ts`` (ES match_phrase_prefix
+    position semantics: the last position matches by prefix).  Same
+    codegen-only shape as ``phrase_count`` — higher-order functions, no
+    UDF, no shuffle."""
+    import functools
+    import operator
+
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    m = len(head) + 1
+
+    def _match_at(i):
+        conds = [
+            F.element_at(ts, (i + F.lit(j)).cast("int")) == F.lit(head[j])
+            for j in range(len(head))
+        ]
+        conds.append(
+            F.element_at(
+                ts, (i + F.lit(m - 1)).cast("int")
+            ).startswith(prefix)
+        )
+        return functools.reduce(operator.and_, conds)
+
+    return F.when(
+        F.size(ts) >= m,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size(ts) - F.lit(m - 1)), _match_at
+            )
+        ),
+    ).otherwise(F.lit(0))
+
+
+def phrase_prefix_topk(
+    toks: DataFrame,
+    ts_col: str,
+    id_col: str,
+    head: list[str],
+    prefix: str,
+    k: int = 20,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """Exact match_phrase_prefix top-k over a tokenized corpus: docs
+    where ``head`` is immediately followed by any term starting with
+    ``prefix``, scored like ``phrase_topk`` (BM25 of the phrase-prefix
+    as one pseudo-term: tf = occurrences, df = docs with >= 1)."""
+    if prefix == "":
+        return phrase_topk(toks, ts_col, id_col, head, k,
+                           n_docs=n_docs, avgdl=avgdl)
+    id_type = toks.schema[id_col].dataType.simpleString()
+    empty = toks.sparkSession.createDataFrame(
+        [], f"{id_col} {id_type}, score double"
+    )
+    base = toks.select(
+        F.col(id_col), F.col(ts_col).alias("_ts")
+    ).withColumn("_dl", F.size("_ts").cast("long"))
+    if n_docs is None or avgdl is None:
+        srow = base.agg(
+            F.count("*").alias("n"),
+            (F.sum("_dl").cast("double") / F.count("*")).alias("a"),
+        ).head()
+        n_docs, avgdl = int(srow["n"]), float(srow["a"])
+    if n_docs == 0:
+        return empty
+    cand = base
+    for t in sorted(set(head)):
+        cand = cand.filter(F.array_contains("_ts", t))
+    cand = cand.filter(
+        F.exists("_ts", lambda x: x.startswith(prefix))
+    )
+    cand = (
+        cand.withColumn(
+            "_ptf", phrase_prefix_count(F.col("_ts"), head, prefix)
+        )
+        .filter(F.col("_ptf") > 0)
+        .select(id_col, "_dl", "_ptf")
+    )
+    dfp = cand.agg(F.count("*").alias("_dfp"))
+    scored = cand.crossJoin(F.broadcast(dfp)).select(
+        F.col(id_col),
+        F.round(
+            bm25.idf_col(F.col("_dfp"), n_docs)
+            * bm25.tfnorm_col(F.col("_ptf"), F.col("_dl"), avgdl),
+            6,
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
 def facet_counts(
     matches: DataFrame, facet_cols: list[str], top_n: int | None = None
 ) -> DataFrame:

@@ -2102,9 +2102,7 @@ class SearchIndex:
         beyond it the token store is read unpruned (still never the
         source).
         """
-        from ..operators.search import analyze_query, phrase_topk
-        from ..functions.analyze import analyzer_col
-        from ..sources.corpus import with_doc_key
+        from ..operators.search import phrase_topk
 
         tf_cfg = self.manifest.resolved_text_fields()
         fld = field if field is not None else next(iter(tf_cfg))
@@ -2141,13 +2139,42 @@ class SearchIndex:
         meta = self.docstore().select(
             "doc_id", "doc_key", "repo", "path", "lang"
         )
-        cand_meta = cand_ids.join(meta, "doc_id", "inner")
         # phase 2: fetch ONLY candidate docs' tokens/text and verify
         # adjacency
+        cand_toks = self._candidate_tokens(
+            cand_ids, fld, source_df, max_pruned_chunks
+        )
+        if cand_toks is None:
+            return empty
+        top = phrase_topk(
+            cand_toks, "_ts", "doc_id", phrase, k,
+            n_docs=self.manifest.n_docs_total,
+            avgdl=self.manifest.avgdl_for(fld),
+        )
+        return (
+            F.broadcast(top).join(meta, "doc_id", "inner")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+    def _candidate_tokens(
+        self,
+        cand_ids: DataFrame,
+        fld: str,
+        source_df: DataFrame | None,
+        max_pruned_chunks: int = 65_536,
+    ) -> DataFrame | None:
+        """(doc_id, _ts) token rows for a candidate id set — the shared
+        phase 2 of phrase / phrase-prefix verification.  Token-store
+        indexes read ONLY the candidate chunks' partitions (returns
+        None when the candidate set is empty); store-less indexes
+        semi-join ``source_df`` on doc_key and re-tokenize."""
+        from ..functions.analyze import analyzer_col
+
+        az = self.manifest.resolved_text_fields()[fld]
         if self._token_dirs(fld) is not None:
-            # token-store path: checkpoint phase 1 so the chunk
-            # enumeration (one driver collect, bounded by
-            # candidates/chunk_span) and the semi-join share one run
+            # checkpoint phase 1 so the chunk enumeration (one driver
+            # collect, bounded by candidates/chunk_span) and the
+            # semi-join share one run
             cand_ids = cand_ids.localCheckpoint()
             span = self.manifest.chunk_span
             chunk_rows = (
@@ -2157,46 +2184,129 @@ class SearchIndex:
             )
             chunks: list[int] | None = sorted(int(r["c"]) for r in chunk_rows)
             if not chunks:
-                return empty
+                return None
             if len(chunks) > max_pruned_chunks:
                 chunks = None  # path-list too wide: unpruned store read
-            cand_toks = (
+            return (
                 self.token_chunks(fld, chunks)
                 .join(cand_ids, "doc_id", "left_semi")
                 .select("doc_id", F.col("ts").alias("_ts"))
             )
-        elif source_df is None:
+        if source_df is None:
             raise ValueError(
                 f"index at {self.root} has no token store for field "
                 f"{fld!r}; pass source_df (the snapshot-log corpus) or "
                 "rebuild with IndexConfig(token_store=True)"
             )
+        meta = self.docstore().select("doc_id", "doc_key")
+        src = with_doc_key(source_df).select(
+            "doc_key", F.col(fld).alias("_text")
+        )
+        # dropDuplicates(doc_id) AFTER the join: a snapshot log carrying
+        # replayed rows (same repo/path/commit in two snapshots — the
+        # compensation scenario) would otherwise yield duplicate
+        # candidate rows per doc_id, inflating the phrase-df denominator
+        # and repeating doc_ids in the top-k (ADVICE r5 medium).
+        # doc_key includes the commit, so replays are byte-identical and
+        # any winner is valid; deduping post-join keeps the shuffle
+        # bounded by the candidate set, never the corpus.
+        return (
+            cand_ids.join(meta, "doc_id", "inner")
+            .select("doc_id", "doc_key")
+            .join(src, "doc_key", "inner")
+            .select("doc_id", F.col("_text"))
+            .dropDuplicates(["doc_id"])
+            .select(
+                "doc_id", analyzer_col(az)(F.col("_text")).alias("_ts")
+            )
+        )
+
+
+    def search_phrase_prefix(
+        self,
+        phrase_text: str,
+        source_df: DataFrame | None = None,
+        k: int = 20,
+        lang: str | None = None,
+        repo: str | None = None,
+        where=None,
+        field: str | None = None,
+        max_expansions: int = 50,
+        max_pruned_chunks: int = 65_536,
+    ) -> DataFrame:
+        """ES match_phrase_prefix (the autocomplete workhorse): the last
+        analyzed token of ``phrase_text`` matches by PREFIX, the tokens
+        before it must immediately precede it.
+
+        Phase 1: head terms give conjunctive candidates (the
+        ``search_phrase`` pattern), the prefix expands against the term
+        dictionary (``expand_prefix``, capped at ``max_expansions`` —
+        the ES-documented truncation: docs whose only completion falls
+        outside the cap are missed) and candidates must contain >= 1
+        expansion term; both from bucket-pruned posting reads.  Phase 2
+        verifies ``head + startswith(prefix)`` adjacency on the
+        candidate docs' tokens (token store: only candidate chunks'
+        files; else the doc_key source join), scored like
+        ``search_phrase`` with the phrase-prefix as one pseudo-term."""
+        from ..operators.search import phrase_prefix_topk
+
+        tf_cfg = self.manifest.resolved_text_fields()
+        fld = field if field is not None else next(iter(tf_cfg))
+        if fld not in tf_cfg:
+            raise ValueError(
+                f"unknown text field {fld!r}; configured: {list(tf_cfg)}"
+            )
+        az = tf_cfg[fld]
+        multi = len(tf_cfg) > 1
+        from ..functions.analyze import analyzer_py
+
+        toks = analyzer_py(az)(phrase_text)
+        empty = self.spark.createDataFrame(
+            [], "doc_id long, score double, doc_key string, repo string, "
+                "path string, lang string"
+        )
+        if not toks:
+            return empty
+        head, prefix = toks[:-1], toks[-1]
+        exp = self.expand_prefix(
+            prefix, field=fld, max_expansions=max_expansions
+        )
+        if not exp:
+            return empty
+        exp_cand = (
+            self.tf_table(exp).filter(F.col("term").isin(exp))
+            .select("doc_id").distinct()
+        )
+        if head:
+            dterms = sorted(set(head))
+            iterms = [f"{fld}:{t}" for t in dterms] if multi else dterms
+            tf = self.tf_table(iterms).filter(F.col("term").isin(iterms))
+            cand_ids = (
+                tf.groupBy("doc_id")
+                .agg(F.count_distinct("term").alias("_nt"))
+                .filter(F.col("_nt") == len(iterms))
+                .select("doc_id")
+                .join(exp_cand, "doc_id", "left_semi")
+            )
         else:
-            src = with_doc_key(source_df).select(
-                "doc_key", F.col(fld).alias("_text")
-            )
-            # dropDuplicates(doc_id) AFTER the join: a snapshot log
-            # carrying replayed rows (same repo/path/commit in two
-            # snapshots — the compensation scenario) would otherwise
-            # yield duplicate candidate rows per doc_id, inflating the
-            # phrase-df denominator and repeating doc_ids in the top-k
-            # (ADVICE r5 medium).  doc_key includes the commit, so
-            # replays are byte-identical and any winner is valid;
-            # deduping post-join keeps the shuffle bounded by the
-            # candidate set, never the corpus.
-            cand_toks = (
-                cand_meta.select("doc_id", "doc_key")
-                .join(src, "doc_key", "inner")
-                .select("doc_id", F.col("_text"))
-                .dropDuplicates(["doc_id"])
-                .select(
-                    "doc_id", analyzer_col(az)(F.col("_text")).alias("_ts")
-                )
-            )
-        top = phrase_topk(
-            cand_toks, "_ts", "doc_id", phrase, k,
+            cand_ids = exp_cand
+        allowed, denied = self._doc_filter(lang, repo, where=where)
+        if allowed is not None:
+            cand_ids = cand_ids.join(allowed, "doc_id", "left_semi")
+        if denied is not None:
+            cand_ids = cand_ids.join(denied, "doc_id", "left_anti")
+        cand_toks = self._candidate_tokens(
+            cand_ids, fld, source_df, max_pruned_chunks
+        )
+        if cand_toks is None:
+            return empty
+        top = phrase_prefix_topk(
+            cand_toks, "_ts", "doc_id", head, prefix, k,
             n_docs=self.manifest.n_docs_total,
             avgdl=self.manifest.avgdl_for(fld),
+        )
+        meta = self.docstore().select(
+            "doc_id", "doc_key", "repo", "path", "lang"
         )
         return (
             F.broadcast(top).join(meta, "doc_id", "inner")

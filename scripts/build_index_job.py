@@ -45,7 +45,8 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="build_index_job")
     ap.add_argument("mode", choices=[
         "full", "sync", "compensate", "compact", "search",
-        "search-phrase", "search-prefix", "search-wildcard",
+        "search-phrase", "search-phrase-prefix", "search-prefix",
+        "search-wildcard",
         "search-bool", "search-fuzzy", "mlt", "facets", "daemon",
         "ann-build", "ann-search", "ann-upsert", "ann-delete",
         "ann-compact",
@@ -178,6 +179,22 @@ def main(argv: list[str] | None = None) -> int:
         rows = idx.search_phrase(
             args.query or "", src, k=args.k, lang=args.lang,
             repo=args.repo, where=args.where, field=args.field,
+        ).collect()
+        for r in rows:
+            print(json.dumps(
+                {"doc_key": r["doc_key"], "score": r["score"],
+                 "repo": r["repo"], "path": r["path"], "lang": r["lang"]}
+            ))
+        return 0
+
+    if args.mode == "search-phrase-prefix":
+        idx = SearchIndex(spark, args.index_root, cfg)
+        src = (SnapshotLog(args.log_root).read_all(spark)
+               if args.log_root else None)
+        rows = idx.search_phrase_prefix(
+            args.query or "", src, k=args.k, lang=args.lang,
+            repo=args.repo, where=args.where, field=args.field,
+            max_expansions=args.max_expansions,
         ).collect()
         for r in rows:
             print(json.dumps(
