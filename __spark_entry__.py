@@ -1147,8 +1147,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("value").alias("key"),
             F.col("cnt").cast("double").alias("v"),
         )
+        hl = idx.highlight("fast hash", k=5, window=3).select(
+            F.lit("highlight").alias("kind"),
+            F.concat_ws("|", "path", "snippet").alias("key"),
+            F.round(F.col("score").cast("double"), 6).alias("v"),
+        )
         out = bm
-        for part in (ph, pp, pf, fz, bq, fc):
+        for part in (ph, pp, pf, fz, bq, fc, hl):
             out = out.unionByName(part)
         return out.orderBy("kind", F.desc("v"), "key")
     q["index_lifecycle"] = index_lifecycle

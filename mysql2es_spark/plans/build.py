@@ -1513,6 +1513,7 @@ class SearchIndex:
         k: int = 20,
         must_boost: float = 1.0,
         should_boost: float = 1.0,
+        minimum_should_match: int = 0,
         lang: str | None = None,
         repo: str | None = None,
         exact: bool = False,
@@ -1531,6 +1532,9 @@ class SearchIndex:
         - ``should``: optional terms that only ADD score (weighted by
           ``should_boost``) — with no ``must``, any should term matches
           (pure OR), the ES minimum_should_match=0|1 defaults;
+          ``minimum_should_match=m`` additionally requires >= m DISTINCT
+          should terms per doc (the ES knob), enforced as one more
+          pruned-posting candidate set;
         - ``must_not``: docs containing ANY of these terms are excluded
           (a pruned posting read of the excluded terms' ids — an id
           set, never a corpus scan); must_not never affects scores.
@@ -1584,6 +1588,12 @@ class SearchIndex:
         qterms = sorted(w.items())
 
         allowed, denied = self._doc_filter(lang, repo, where=where)
+        msm = int(minimum_should_match)
+        if msm > len(s_terms):
+            raise ValueError(
+                f"minimum_should_match={msm} exceeds the "
+                f"{len(s_terms)} distinct should terms"
+            )
         if m_terms:
             mt = [t for t, _ in m_terms]
             # conjunctive candidates, bounded by the rarest must term
@@ -1601,6 +1611,23 @@ class SearchIndex:
             elif denied is not None:
                 cand = cand.join(denied, "doc_id", "left_anti")
             allowed, denied = cand, None
+        if msm > 0 and s_terms:
+            st = [t for t, _ in s_terms]
+            stf = self.tf_table(st, template_bucket).filter(
+                F.col("term").isin(st)
+            )
+            scand = (
+                stf.groupBy("doc_id")
+                .agg(F.count_distinct("term").alias("_ns"))
+                .filter(F.col("_ns") >= msm)
+                .select("doc_id")
+            )
+            if allowed is not None:
+                allowed = allowed.join(scand, "doc_id", "left_semi")
+            else:
+                if denied is not None:
+                    scand = scand.join(denied, "doc_id", "left_anti")
+                allowed, denied = scand, None
         if n_terms:
             nt = [t for t, _ in n_terms]
             excluded = (
@@ -2310,6 +2337,92 @@ class SearchIndex:
         )
         return (
             F.broadcast(top).join(meta, "doc_id", "inner")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+
+    def highlight(
+        self,
+        query_text: str,
+        k: int = 10,
+        window: int = 5,
+        source_df: DataFrame | None = None,
+        lang: str | None = None,
+        repo: str | None = None,
+        where=None,
+        template_bucket: str | None = None,
+        field: str | None = None,
+    ) -> DataFrame:
+        """ES highlighting analogue: top-k BM25 search, then a token
+        snippet around each hit's FIRST matched query term plus the
+        count of distinct matched terms.
+
+        Cost shape: the search is the normal block-max path; snippets
+        read the top-k docs' tokens only — with a token store that is
+        at most k chunks' partitions (``_candidate_tokens``), never the
+        corpus.  The snippet is ``2*window+1`` tokens joined by spaces
+        (positions from the analyzed token stream — the index is
+        position-free, so character offsets into the raw text would
+        need the source; token windows are what the store can serve
+        pruned).  Returns (doc_id, score, repo, path, lang, matched,
+        snippet) ordered like ``search``."""
+        tf_cfg = self.manifest.resolved_text_fields()
+        fld = field if field is not None else next(iter(tf_cfg))
+        if fld not in tf_cfg:
+            raise ValueError(
+                f"unknown text field {fld!r}; configured: {list(tf_cfg)}"
+            )
+        from ..operators.search import analyze_query
+
+        qterms = [t for t, _ in analyze_query(query_text, tf_cfg[fld])]
+        top = self.search(
+            query_text, k=k, lang=lang, repo=repo, where=where,
+            template_bucket=template_bucket, field=fld,
+        ).localCheckpoint()  # k rows; snippet fetch + final join share one search run
+        if not qterms:
+            return top.select(
+                "doc_id", "score", "repo", "path", "lang",
+                F.lit(0).alias("matched"), F.lit("").alias("snippet"),
+            )
+        hit_ids = top.select("doc_id")
+        toks = self._candidate_tokens(hit_ids, fld, source_df)
+        if toks is None:
+            toks = self.spark.createDataFrame(
+                [], "doc_id long, _ts array<string>"
+            )
+        pos_arr = F.array(
+            *[F.array_position("_ts", t) for t in qterms]
+        )
+        hits_pos = F.filter(pos_arr, lambda x: x > 0)
+        first = F.array_min(hits_pos)
+        span = 2 * int(window) + 1
+        snip = toks.select(
+            "doc_id",
+            F.size(hits_pos).alias("matched"),
+            F.when(
+                first.isNotNull(),
+                F.array_join(
+                    F.slice(
+                        "_ts",
+                        F.greatest(
+                            F.lit(1), (first - F.lit(int(window))).cast("int")
+                        ),
+                        span,
+                    ),
+                    " ",
+                ),
+            ).otherwise(F.lit("")).alias("snippet"),
+        )
+        return (
+            F.broadcast(
+                top.select("doc_id", "score", "repo", "path", "lang")
+            )
+            .join(snip, "doc_id", "left")
+            .select(
+                "doc_id", "score", "repo", "path", "lang",
+                F.coalesce("matched", F.lit(0)).alias("matched"),
+                F.coalesce("snippet", F.lit("")).alias("snippet"),
+            )
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 

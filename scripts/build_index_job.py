@@ -47,7 +47,8 @@ def main(argv: list[str] | None = None) -> int:
         "full", "sync", "compensate", "compact", "search",
         "search-phrase", "search-phrase-prefix", "search-prefix",
         "search-wildcard",
-        "search-bool", "search-fuzzy", "mlt", "facets", "daemon",
+        "search-bool", "search-fuzzy", "mlt", "highlight", "facets",
+        "daemon",
         "ann-build", "ann-search", "ann-upsert", "ann-delete",
         "ann-compact",
     ])
@@ -110,6 +111,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--must-not", help="search-bool: exclusion clause")
     ap.add_argument("--must-boost", type=float, default=1.0)
     ap.add_argument("--should-boost", type=float, default=1.0)
+    ap.add_argument("--msm", type=int, default=0,
+                    help="search-bool: minimum_should_match")
+    ap.add_argument("--highlight-window", type=int, default=5,
+                    help="highlight: tokens either side of the first "
+                         "matched term")
     ap.add_argument("--fuzziness", type=int, default=1,
                     help="search-fuzzy: max edit distance (0-2)")
     ap.add_argument("--prefix-length", type=int, default=0,
@@ -238,6 +244,7 @@ def main(argv: list[str] | None = None) -> int:
         rows = idx.search_bool(
             must=args.must, should=args.should, must_not=args.must_not,
             must_boost=args.must_boost, should_boost=args.should_boost,
+            minimum_should_match=args.msm,
             k=args.k, lang=args.lang, repo=args.repo, exact=args.exact,
             where=args.where, field=args.field,
             template_bucket=args.template_bucket,
@@ -282,6 +289,23 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(
                 {"doc_key": r["doc_key"], "score": r["score"],
                  "repo": r["repo"], "path": r["path"], "lang": r["lang"]}
+            ))
+        return 0
+
+    if args.mode == "highlight":
+        idx = SearchIndex(spark, args.index_root, cfg)
+        src = (SnapshotLog(args.log_root).read_all(spark)
+               if args.log_root else None)
+        rows = idx.highlight(
+            args.query or "", k=args.k, window=args.highlight_window,
+            source_df=src, lang=args.lang, repo=args.repo,
+            where=args.where, field=args.field,
+            template_bucket=args.template_bucket,
+        ).collect()
+        for r in rows:
+            print(json.dumps(
+                {"path": r["path"], "score": r["score"],
+                 "matched": r["matched"], "snippet": r["snippet"]}
             ))
         return 0
 
