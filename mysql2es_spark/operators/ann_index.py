@@ -241,10 +241,17 @@ def delete_from_ann_index(spark: SparkSession, root: str, ids) -> dict:
         # the id column's dtype comes from the layout sidecar (ADVICE
         # r5): nothing in build_ann_index restricts id type, so a
         # string-keyed layout must tombstone with string-typed rows or
-        # the anti-join silently mis-matches
+        # the anti-join silently mis-matches.  Integer-typed layouts
+        # coerce each id through int() (ADVICE r6): int-like values
+        # that are not Python ints (numpy int64 from a collect) fail
+        # createDataFrame against the long schema otherwise.
         idt = meta.get("id_type", "long")
-        ids_df = spark.createDataFrame([(i,) for i in ids],
-                                       f"{idc} {idt}")
+        if idt in ("long", "bigint", "int", "integer", "smallint",
+                   "tinyint"):
+            rows = [(int(i),) for i in ids]
+        else:
+            rows = [(i,) for i in ids]
+        ids_df = spark.createDataFrame(rows, f"{idc} {idt}")
     cutoff = int(meta.get("gen", 1))
     ids_df.withColumn("_del_gen", F.lit(cutoff)).write.mode(
         "append").parquet(os.path.join(root, _DELETES))

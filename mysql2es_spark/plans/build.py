@@ -281,13 +281,20 @@ def build_segment(
         # while the columnar spill write scales with cores and the
         # re-reads are column-pruned.  Snappy: cheapest encode for
         # write-once-read-twice data.
+        # Resume granularity (ADVICE r6): the spill only feeds the
+        # docstore + postings stages — when both are already complete
+        # (e.g. re-running to add the token store), skip the expensive
+        # re-tokenize + spill write entirely; the token-store block
+        # re-analyzes from tok_src and never reads the spill.
         spill = os.path.join(seg_dir, "_tfspill")
-        rows_src.write.mode("overwrite").option(
-            "compression", "snappy"
-        ).parquet(spill)
-        rows = spark.read.parquet(spill)
-        meta_rows = rows.filter(F.col("term").isNull())
-        if cfg.validate_replays:
+        rows = meta_rows = None
+        if not (stage_done(doc_path) and stage_done(post_path)):
+            rows_src.write.mode("overwrite").option(
+                "compression", "snappy"
+            ).parquet(spill)
+            rows = spark.read.parquet(spill)
+            meta_rows = rows.filter(F.col("term").isNull())
+        if cfg.validate_replays and meta_rows is not None:
             # debug guard (ADVICE r3): a replayed (doc_key, version)
             # must be byte-identical — two distinct content hashes under
             # one key would make the docstore's sha/dl and the indexed
@@ -361,19 +368,36 @@ def build_segment(
             # phrase verification / MLT-by-id then read ONLY candidate
             # chunks — the same path-pruning machinery as postings() —
             # instead of scanning the source corpus per query.  One
-            # extra analysis pass per field; the write is partitionBy
-            # with NO repartition, so token arrays never enter an
-            # Exchange on the broadcast-id path (file count per chunk
-            # is bounded by the scan's task count).  On the mega-build
-            # path the id join itself is the one shuffle of tokenized
-            # text — the documented cost of opting in at bootstrap
-            # scale.
+            # extra analysis pass per field.  The write repartitions by
+            # ``chunk`` (one Exchange of token arrays — never content),
+            # which (a) bounds the store at ONE file per chunk instead
+            # of tasks x chunks small files (VERDICT r6 #4: store reads
+            # were file-count-bound when candidates spanned chunks) and
+            # (b) co-locates every doc_id's rows so byte-identical
+            # replayed source rows dedupe partition-locally without a
+            # second shuffle (ADVICE r6: the store must not serve
+            # duplicate (doc_id, ts) rows — they'd inflate the
+            # phrase-df denominator and duplicate top-k doc_ids).
+            # Per-task work after the exchange is bounded by
+            # chunk_span docs per chunk regardless of corpus size.
             from ..functions.analyze import analyzer_col
 
             if n_docs <= cfg.broadcast_id_threshold:
                 tok_src = with_ids
             else:
                 tok_src = df.join(ids, ["doc_key", "version", *tb])
+
+            def _dedupe_doc_ids(batches):
+                # partition-local replay guard: the chunk repartition
+                # put every doc_id's (byte-identical) replays in one
+                # partition, so one seen-set per task is exact
+                seen: set[int] = set()
+                for pdf in batches:
+                    fresh = ~pdf["doc_id"].isin(seen)
+                    keep = pdf[fresh & ~pdf.duplicated("doc_id")]
+                    seen.update(keep["doc_id"].tolist())
+                    yield keep
+
             for fcol, an in fields:
                 fdir = os.path.join(seg_dir, "tokens", fcol)
                 if stage_done(fdir):
@@ -384,6 +408,11 @@ def build_segment(
                     )
                     .withColumn(
                         "chunk", F.expr(f"doc_id div {int(cfg.chunk_span)}")
+                    )
+                    .repartition("chunk")
+                    .mapInPandas(
+                        _dedupe_doc_ids,
+                        "doc_id long, ts array<string>, chunk long",
                     )
                     .write.mode("overwrite")
                     .partitionBy("chunk")
