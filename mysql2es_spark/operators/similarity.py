@@ -13,7 +13,10 @@ pairs, verify with exact cosine.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -42,14 +45,143 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# ---------------------------------------------------------------------------
+# Vectorized scoring kernels (guide §4.2): Spark's higher-order
+# functions (zip_with/aggregate lambdas) evaluate INTERPRETED, outside
+# whole-stage codegen — per-element lambda dispatch dominates every
+# vector-math scan.  These pandas-UDF kernels fold the same arithmetic
+# with numpy, ONE vectorized op per dimension in the exact IEEE-754
+# order of the Column expressions (acc = acc + a[j]*b[j], left to
+# right; norm = sqrt(fold a[j]^2); cosine = dot / (norm_a * norm_b)) —
+# so scores are BIT-IDENTICAL to the Column path (pinned by
+# tests/test_np_kernels_identity.py), the oracle twins keep matching,
+# and every ANN layout/probing decision is unchanged.
+# ---------------------------------------------------------------------------
+
+def _fold_dot_sq(A: np.ndarray, q: list[float]):
+    """Sequential-fold dot(A_i, q) and sum(A_i^2) per row — same
+    accumulation order as the Column ``aggregate`` lambdas."""
+    n = A.shape[0]
+    acc = np.zeros(n)
+    sq = np.zeros(n)
+    for j in range(A.shape[1]):
+        c = A[:, j]
+        acc = acc + c * q[j]
+        sq = sq + c * c
+    return acc, sq
+
+
+def _norm_py(q: list[float]) -> float:
+    s = 0.0
+    for x in q:
+        s = s + x * x
+    return math.sqrt(s)
+
+
+def _batch_matrix(v: pd.Series, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """(mask of rows shaped (dim,), stacked float64 matrix of them).
+    Nulls / wrong-length rows fall out of the mask (the Column path
+    yields NULL for those; callers re-insert None)."""
+    ok = np.fromiter(
+        (x is not None and len(x) == dim for x in v),
+        dtype=bool, count=len(v),
+    )
+    if not ok.any():
+        return ok, np.empty((0, dim))
+    A = np.stack(v[ok].to_numpy()).astype(np.float64, copy=False)
+    return ok, A
+
+
+def cosine_scores(vec_col: Column | str, query_vec: list[float]) -> Column:
+    """Column of cosine(vec, query) — numpy kernel, bit-identical to
+    ``cosine(vec_col, _lit_vec(query_vec))``."""
+    q = [float(x) for x in query_vec]
+    nq = _norm_py(q)
+    dim = len(q)
+
+    @F.pandas_udf("double")
+    def _cos(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        ok, A = _batch_matrix(v, dim)
+        out = np.full(len(v), np.nan)
+        if A.shape[0]:
+            acc, sq = _fold_dot_sq(A, q)
+            out[ok] = acc / (np.sqrt(sq) * nq)
+        if ok.all():
+            return pd.Series(out)
+        res = pd.Series(out).astype(object)
+        res[~ok] = None  # Column path yields NULL, not NaN
+        return pd.Series(res)
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return _cos(c)
+
+
+def lsh_signature_np(vec_col: Column | str,
+                     planes: list[list[float]]) -> Column:
+    """numpy twin of ``lsh_signature`` — same sign decisions (the fold
+    order of each plane dot matches the Column lambda)."""
+    ps = [[float(x) for x in p] for p in planes]
+    dim = len(ps[0])
+
+    @F.pandas_udf("int")
+    def _sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series(np.empty(0, dtype=np.int32))
+        ok, A = _batch_matrix(v, dim)
+        out = np.zeros(len(v), dtype=np.int64)
+        if A.shape[0]:
+            bits = np.zeros(A.shape[0], dtype=np.int64)
+            for i, p in enumerate(ps):
+                acc = np.zeros(A.shape[0])
+                for j in range(dim):
+                    acc = acc + A[:, j] * p[j]
+                bits = bits + np.where(acc >= 0, 1 << i, 0)
+            out[ok] = bits
+        return pd.Series(out.astype(np.int32))
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return _sig(c)
+
+
+def ivf_assign_np(vec_col: Column | str,
+                  centroids: list[list[float]]) -> Column:
+    """numpy twin of ``ivf_assign``: argmax-by-cosine with first-max
+    tie-breaking — identical to the Column when/greatest chain because
+    the cosines themselves are bit-identical."""
+    cents = [[float(x) for x in c] for c in centroids]
+    dim = len(cents[0])
+    cnorms = [_norm_py(c) for c in cents]
+
+    @F.pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series(np.empty(0, dtype=np.int32))
+        ok, A = _batch_matrix(v, dim)
+        out = np.zeros(len(v), dtype=np.int64)
+        if A.shape[0]:
+            sims = np.empty((A.shape[0], len(cents)))
+            for ci, c in enumerate(cents):
+                acc, sq = _fold_dot_sq(A, c)
+                sims[:, ci] = acc / (np.sqrt(sq) * cnorms[ci])
+            out[ok] = np.argmax(sims, axis=1)
+        return pd.Series(out.astype(np.int32))
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return _assign(c)
+
+
 def brute_force_cosine_topk(
     df: DataFrame, vec_col: str, id_col: str, query_vec: list[float], k: int = 10
 ) -> DataFrame:
     """Exact ANN baseline: score every row, take k.  The scan is narrow
-    (no shuffle) and the top-k is a TakeOrdered — no global sort."""
-    q = _lit_vec(query_vec)
+    (no shuffle) and the top-k is a TakeOrdered — no global sort.
+    Scoring runs through the numpy kernel (bit-identical to the Column
+    ``cosine`` — see the kernel block above), so ranks AND float scores
+    match the pre-kernel implementation exactly."""
     scored = df.select(
-        F.col(id_col), cosine(F.col(vec_col), q).alias("cosine")
+        F.col(id_col), cosine_scores(F.col(vec_col), query_vec).alias("cosine")
     )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
@@ -155,7 +287,9 @@ def ivf_train_centroids(
     cents = [list(map(float, r["v"])) for r in init]
     dim = len(cents[0])
     for _ in range(iters):
-        assigned = train.withColumn("c", ivf_assign(F.col("v"), cents))
+        # numpy kernel: bit-identical assignment, ~10x cheaper than the
+        # interpreted higher-order Column chain per Lloyd pass (§4.2)
+        assigned = train.withColumn("c", ivf_assign_np(F.col("v"), cents))
         rows = (
             assigned.select("c", F.posexplode("v").alias("pos", "val"))
             .groupBy("c", "pos")

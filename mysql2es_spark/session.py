@@ -51,6 +51,19 @@ def get_spark(
         # count — 16 MB keeps scans wide here, and a real cluster run
         # overrides it back up via spark-submit --conf
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        # multi-path leaf reads (SearchIndex.postings / token_chunks,
+        # AnnIndex probes) pass hundreds of pruned partition dirs per
+        # query; above the default threshold (32 paths) Spark launches a
+        # distributed LISTING JOB per read — pure scheduling overhead
+        # when the driver's filesystem metadata calls are cheap (local
+        # disk, HDFS NN).  Keep listing driver-side up to 64k paths;
+        # object-store deployments where driver-side listing is the
+        # bottleneck override via SPARK_GRAFT_LIST_PAR_THRESHOLD or
+        # spark-submit --conf
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_LIST_PAR_THRESHOLD", "65536"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
