@@ -240,6 +240,29 @@ def analyzer_col(name: str):
     raise ValueError(f"unknown analyzer {name!r}")
 
 
+# Deterministic in fact, marked non-deterministic so Catalyst cannot
+# push filters BELOW the UDF and thereby duplicate its evaluation
+# (once under the pushed filter, once in the projection — the
+# double-BatchEvalPython pathology; optimization guide §4.4).  Used on
+# read paths that filter on the token array right after producing it
+# (phrase verification) — NOT at index build, where determinism keeps
+# legitimate optimizations available.
+_tokenize_code_nd = tokenize_code.asNondeterministic()
+
+
+def analyzer_col_nd(name: str):
+    """``analyzer_col`` variant whose 'code' UDF is evaluated exactly
+    once even when the consumer filters on its output (guide §4.4).
+    Token-for-token identical output."""
+    if name == "code":
+        return lambda c: _tokenize_code_nd(
+            F.col(c) if isinstance(c, str) else c
+        )
+    if name == "simple":
+        return tokenize_simple
+    raise ValueError(f"unknown analyzer {name!r}")
+
+
 def tokenize_simple_py(text: str) -> list[str]:
     """Driver-side twin of ``tokenize_simple`` for query analysis."""
     if text is None:

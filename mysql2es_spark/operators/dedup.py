@@ -77,17 +77,73 @@ def minhash_signature(
 ) -> DataFrame:
     """(id, mh0..mh{k-1}): k universal-hash minima over shingle xxhashes.
 
-    explode(shingles) -> groupBy(id).agg(k mins) — partial aggregation
-    means the shuffle carries k longs per doc, never the shingles."""
+    ONE fused ``mapInPandas`` pass: tokenize (pandas C regex), build
+    the distinct shingle set, XXH64 each shingle (the pure-Python twin
+    of Spark's ``xxhash64`` — bit-exact, seed 42), and take the k
+    universal-hash minima with one numpy matrix op per doc.  No
+    explode, no shuffle at all — the old Column pipeline materialized
+    every shingle STRING in the JVM (6.4M strings for a 20k-doc
+    sample) and fed them through a k-expression aggregation, which
+    profiled at ~34 s vs ~3 s for this kernel (guide §4.2: hand whole
+    batches to vectorized/native code instead of per-element JVM
+    expression trees).  Output values are identical to the old
+    pipeline (pinned by tests/test_minhash_parity.py):
+    h = pmod(xxhash64(shingle), M); mh_i = min((h*a_i + b_i) mod M).
+    """
+    import re as _re
+
+    from ..functions.hash import xxh64 as _xxh64
+
     params = _hash_params(k, seed)
-    ex = df.select(
-        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh")
-    ).withColumn("h", F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE)))
-    aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    return ex.groupBy(id_col).agg(*aggs)
+    A = np.array([a for a, _ in params], dtype=np.int64)
+    B = np.array([b for _, b in params], dtype=np.int64)
+    M = _MERSENNE
+    n = shingle_n
+    tok_re = _re.compile(r"[a-z0-9]+")
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, " + ", ".join(
+        f"mh{i} long" for i in range(k)
+    )
+    id_dtype = "object" if id_type == "string" else "int64"
+
+    def run(batches):
+        import pandas as pd
+
+        hash_cache: dict[str, int] = {}
+        for pdf in batches:
+            toks_series = (
+                pdf[text_col].fillna("").str.lower().str.findall(tok_re)
+            )
+            out = np.empty((len(pdf), k), dtype=np.int64)
+            for row, toks in enumerate(toks_series):
+                if len(toks) >= n:
+                    # distinct n-gram shingles (array_distinct parity)
+                    sset = {
+                        " ".join(toks[j:j + n])
+                        for j in range(len(toks) - n + 1)
+                    }
+                else:
+                    sset = {" ".join(toks)}
+                hs = np.empty(len(sset), dtype=np.int64)
+                for i, s in enumerate(sset):
+                    h = hash_cache.get(s)
+                    if h is None:
+                        h = _xxh64(s.encode("utf-8"))
+                        h = (h - (1 << 64) if h >= (1 << 63) else h) % M
+                        hash_cache[s] = h
+                    hs[i] = h
+                # (|S| x k) universal hashes, min over shingles; h,a <
+                # 2^31 so h*a + b < 2^62 — no int64 overflow
+                out[row] = ((hs[:, None] * A[None, :] + B) % M).min(axis=0)
+            cols = {id_col: pd.Series(pdf[id_col].to_numpy(),
+                                      dtype=id_dtype)}
+            for i in range(k):
+                cols[f"mh{i}"] = pd.Series(out[:, i])
+            if len(hash_cache) > 4_000_000:  # bound worker memory
+                hash_cache.clear()
+            yield pd.DataFrame(cols)
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
 
 
 def minhash_lsh_candidates(

@@ -393,6 +393,73 @@ def phrase_count(ts, phrase: list[str]):
     ).otherwise(F.lit(0))
 
 
+def phrase_count_np(ts, phrase: list[str]):
+    """Vectorized twin of ``phrase_count`` — identical integer counts.
+
+    Spark's higher-order functions evaluate INTERPRETED (per-position
+    lambda dispatch); verifying a phrase over 100k candidate docs of
+    ~500 tokens each is ~10^8 interpreted evals and dominated the
+    phrase query (guide §4.2).  This kernel slides numpy equality
+    masks over each token array — C-speed comparisons, exact overlap-
+    aware counts, same null/short-doc semantics (0).  Marked
+    non-deterministic so the ``_ptf > 0`` filter cannot duplicate the
+    evaluation (guide §4.4)."""
+    p = list(phrase)
+    m = len(p)
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    if m == 0:
+        return F.lit(0)
+
+    @F.pandas_udf("int")
+    def _cnt(col: pd.Series) -> pd.Series:
+        out = np.zeros(len(col), dtype=np.int32)
+        for i, arr in enumerate(col):
+            if arr is None:
+                continue
+            n = len(arr)
+            if n < m:
+                continue
+            a = np.asarray(arr, dtype=object)
+            mask = a[0:n - m + 1] == p[0]
+            for j in range(1, m):
+                mask = mask & (a[j:n - m + 1 + j] == p[j])
+            out[i] = int(mask.sum())
+        return pd.Series(out)
+
+    return _cnt.asNondeterministic()(ts)
+
+
+def phrase_prefix_count_np(ts, head: list[str], prefix: str):
+    """Vectorized twin of ``phrase_prefix_count`` (same §4.2/§4.4
+    rationale as ``phrase_count_np``): occurrences of
+    ``head + <term starting with prefix>`` as consecutive tokens."""
+    h = list(head)
+    m = len(h) + 1
+    ts = F.col(ts) if isinstance(ts, str) else ts
+
+    @F.pandas_udf("int")
+    def _cnt(col: pd.Series) -> pd.Series:
+        out = np.zeros(len(col), dtype=np.int32)
+        for i, arr in enumerate(col):
+            if arr is None:
+                continue
+            n = len(arr)
+            if n < m:
+                continue
+            a = np.asarray(arr, dtype=object)
+            mask = np.fromiter(
+                (isinstance(x, str) and x.startswith(prefix)
+                 for x in a[m - 1:n]),
+                dtype=bool, count=n - m + 1,
+            )
+            for j, t in enumerate(h):
+                mask = mask & (a[j:n - m + 1 + j] == t)
+            out[i] = int(mask.sum())
+        return pd.Series(out)
+
+    return _cnt.asNondeterministic()(ts)
+
+
 def phrase_topk(
     toks: DataFrame,
     ts_col: str,
@@ -401,6 +468,7 @@ def phrase_topk(
     k: int = 20,
     n_docs: int | None = None,
     avgdl: float | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact phrase top-k over a tokenized corpus: docs containing the
     consecutive token sequence, scored as BM25 of the phrase treated as
@@ -439,10 +507,23 @@ def phrase_topk(
     for t in sorted(set(phrase)):
         cand = cand.filter(F.array_contains("_ts", t))
     cand = (
-        cand.withColumn("_ptf", phrase_count(F.col("_ts"), phrase))
+        cand.withColumn("_ptf", phrase_count_np(F.col("_ts"), phrase))
         .filter(F.col("_ptf") > 0)
         .select(id_col, "_dl", "_ptf")
     )
+    # ``cand`` feeds BOTH the phrase-df denominator and the scored rows;
+    # without materialization the whole verification pipeline (source
+    # scan + analyze + positional filter) executes twice — once under
+    # the broadcast agg, once for the rows (guide §7.2 duplicated
+    # subtrees; measured 2x the phrase cost on the source-join path).
+    # persist() runs it once: the denominator job populates the cache
+    # of the tiny verified (id, dl, ptf) triples, the row side reads
+    # it.  Callers whose ``toks`` is already a cheap pruned read (the
+    # token-store path) pass materialize=False — cache substitution
+    # hides the scan from ``inputFiles()``, and the chunk-pruning
+    # evidence gate matters more there than the small double read.
+    if materialize:
+        cand = cand.persist()
     dfp = cand.agg(F.count("*").alias("_dfp"))
     scored = cand.crossJoin(F.broadcast(dfp)).select(
         F.col(id_col),
@@ -498,6 +579,7 @@ def phrase_prefix_topk(
     k: int = 20,
     n_docs: int | None = None,
     avgdl: float | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact match_phrase_prefix top-k over a tokenized corpus: docs
     where ``head`` is immediately followed by any term starting with
@@ -505,7 +587,8 @@ def phrase_prefix_topk(
     as one pseudo-term: tf = occurrences, df = docs with >= 1)."""
     if prefix == "":
         return phrase_topk(toks, ts_col, id_col, head, k,
-                           n_docs=n_docs, avgdl=avgdl)
+                           n_docs=n_docs, avgdl=avgdl,
+                           materialize=materialize)
     id_type = toks.schema[id_col].dataType.simpleString()
     empty = toks.sparkSession.createDataFrame(
         [], f"{id_col} {id_type}, score double"
@@ -529,11 +612,15 @@ def phrase_prefix_topk(
     )
     cand = (
         cand.withColumn(
-            "_ptf", phrase_prefix_count(F.col("_ts"), head, prefix)
+            "_ptf", phrase_prefix_count_np(F.col("_ts"), head, prefix)
         )
         .filter(F.col("_ptf") > 0)
         .select(id_col, "_dl", "_ptf")
     )
+    # run the verification pipeline once for both consumers (see
+    # phrase_topk — the same duplicated-subtree trade-off)
+    if materialize:
+        cand = cand.persist()
     dfp = cand.agg(F.count("*").alias("_dfp"))
     scored = cand.crossJoin(F.broadcast(dfp)).select(
         F.col(id_col),

@@ -2206,6 +2206,11 @@ class SearchIndex:
             cand_toks, "_ts", "doc_id", phrase, k,
             n_docs=self.manifest.n_docs_total,
             avgdl=self.manifest.avgdl_for(fld),
+            # token-store path: keep full lineage so chunk pruning stays
+            # inputFiles-assertable; its pruned read is cheap to repeat.
+            # Source-join path: materialize — the corpus scan is the
+            # dominant cost and must run once.
+            materialize=self._token_dirs(fld) is None,
         )
         return (
             F.broadcast(top).join(meta, "doc_id", "inner")
@@ -2224,7 +2229,7 @@ class SearchIndex:
         indexes read ONLY the candidate chunks' partitions (returns
         None when the candidate set is empty); store-less indexes
         semi-join ``source_df`` on doc_key and re-tokenize."""
-        from ..functions.analyze import analyzer_col
+        from ..functions.analyze import analyzer_col_nd
 
         az = self.manifest.resolved_text_fields()[fld]
         if self._token_dirs(fld) is not None:
@@ -2273,7 +2278,7 @@ class SearchIndex:
             .select("doc_id", F.col("_text"))
             .dropDuplicates(["doc_id"])
             .select(
-                "doc_id", analyzer_col(az)(F.col("_text")).alias("_ts")
+                "doc_id", analyzer_col_nd(az)(F.col("_text")).alias("_ts")
             )
         )
 
@@ -2360,6 +2365,7 @@ class SearchIndex:
             cand_toks, "_ts", "doc_id", head, prefix, k,
             n_docs=self.manifest.n_docs_total,
             avgdl=self.manifest.avgdl_for(fld),
+            materialize=self._token_dirs(fld) is None,
         )
         meta = self.docstore().select(
             "doc_id", "doc_key", "repo", "path", "lang"
