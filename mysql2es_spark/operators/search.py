@@ -637,35 +637,43 @@ def facet_counts(
     matches: DataFrame, facet_cols: list[str], top_n: int | None = None
 ) -> DataFrame:
     """ES terms-aggregation analogue over a match set: per-facet value
-    counts, one unioned frame (facet, value, cnt).
+    counts, one frame (facet, value, cnt).
 
-    Each facet is an independent map-side-combined groupBy over the
-    (already pruned) match set — no joins, no window.  ``top_n`` bounds
-    each facet's bucket list like ES's ``size`` (rank by cnt desc,
-    value asc — deterministic across engines).  At scale the match set
-    is the output of a pruned posting read, so facet cost is
-    O(matches), never O(corpus)."""
+    All facets are counted in ONE map-side-combined groupBy over a
+    melt (``explode`` of per-facet structs) of the match set.  The
+    previous per-facet groupBy + union evaluated the whole match-set
+    subtree (pruned posting read + joins) once PER FACET — duplicated
+    subtrees, guide §7.2 — while the melt costs one pass and one
+    aggregation whose row count is matches x facets of tiny (facet,
+    value) pairs.  ``top_n`` bounds each facet's bucket list like ES's
+    ``size`` (rank by cnt desc, value asc — deterministic across
+    engines); output rows/order are identical to the union version.
+    At scale the match set is the output of a pruned posting read, so
+    facet cost is O(matches), never O(corpus)."""
     from pyspark.sql import Window
 
-    outs = []
-    for c in facet_cols:
-        g = matches.groupBy(F.col(c).cast("string").alias("value")).agg(
-            F.count("*").alias("cnt")
-        ).select(F.lit(c).alias("facet"), "value", "cnt")
-        if top_n is not None:
-            g = (
-                g.withColumn(
-                    "_rk",
-                    F.row_number().over(
-                        Window.partitionBy("facet")
-                        .orderBy(F.desc("cnt"), F.asc("value"))
-                    ),
+    melted = matches.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("facet"),
+                    F.col(c).cast("string").alias("value"),
                 )
-                .filter(F.col("_rk") <= top_n)
-                .drop("_rk")
+                for c in facet_cols
+            ])
+        ).alias("fv")
+    ).select("fv.facet", "fv.value")
+    out = melted.groupBy("facet", "value").agg(F.count("*").alias("cnt"))
+    if top_n is not None:
+        out = (
+            out.withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("facet")
+                    .orderBy(F.desc("cnt"), F.asc("value"))
+                ),
             )
-        outs.append(g)
-    out = outs[0]
-    for g in outs[1:]:
-        out = out.unionByName(g)
+            .filter(F.col("_rk") <= top_n)
+            .drop("_rk")
+        )
     return out.orderBy("facet", F.desc("cnt"), "value")

@@ -1238,7 +1238,15 @@ class SearchIndex:
         ]
         if not paths:
             return self.spark.createDataFrame([], POSTING_SCHEMA)
-        df = self.spark.read.parquet(*paths).withColumn(
+        # static file schema (POSTING_SCHEMA minus the partition-derived
+        # bucket): skips parquet footer schema inference on EVERY query
+        # — the posting layout is fixed by the writer
+        file_schema = (
+            "term string, chunk long, n int, first_doc long, "
+            "last_doc long, max_tf int, min_dl int, "
+            "docs binary, tfs binary, dls binary"
+        )
+        df = self.spark.read.schema(file_schema).parquet(*paths).withColumn(
             "bucket",
             F.regexp_extract(
                 F.input_file_name(), r"/bucket=(\d+)/", 1
@@ -1423,7 +1431,12 @@ class SearchIndex:
             return self.spark.createDataFrame(
                 [], "doc_id long, ts array<string>"
             )
-        return self.spark.read.parquet(*paths).select("doc_id", "ts")
+        return (
+            self.spark.read
+            .schema("doc_id long, ts array<string>")  # fixed store layout
+            .parquet(*paths)
+            .select("doc_id", "ts")
+        )
 
     def _doc_filter(
         self, lang: str | None, repo: str | None, where=None
