@@ -289,11 +289,19 @@ def build_segment(
         spill = os.path.join(seg_dir, "_tfspill")
         rows = meta_rows = None
         if not (stage_done(doc_path) and stage_done(post_path)):
-            rows_src.write.mode("overwrite").option(
+            # the spill is partitioned meta-vs-tf (one extra file per
+            # task): the docstore consumer then reads ONLY the tiny
+            # per-doc meta partition (1 row/doc) instead of scanning
+            # the full (doc, term) table to filter out its meta rows,
+            # and the postings consumer only the tf partition —
+            # file-level pruning instead of a predicate over every row
+            rows_src.withColumn(
+                "_m", F.col("term").isNull().cast("int")
+            ).write.mode("overwrite").option(
                 "compression", "snappy"
-            ).parquet(spill)
+            ).partitionBy("_m").parquet(spill)
             rows = spark.read.parquet(spill)
-            meta_rows = rows.filter(F.col("term").isNull())
+            meta_rows = rows.filter(F.col("_m") == 1).drop("_m")
         if cfg.validate_replays and meta_rows is not None:
             # debug guard (ADVICE r3): a replayed (doc_key, version)
             # must be byte-identical — two distinct content hashes under
@@ -354,7 +362,7 @@ def build_segment(
                 .write.mode("overwrite").parquet(doc_path)
             )
         if not stage_done(post_path):
-            tf = rows.filter(F.col("term").isNotNull()).select(
+            tf = rows.filter(F.col("_m") == 0).select(
                 "doc_id", "dl", "term", "tf"
             )
             blocks = encode_postings(
