@@ -267,12 +267,29 @@ def blockmax_topk(
     if not qinfo:
         return spark.createDataFrame([], TOPK_SCHEMA)
 
+    # The scoring exchange carries only posting BLOCK rows — a few KB
+    # per chunk — so AQE partition coalescing (sized for shuffled
+    # BYTES) folds every chunk into one or two post-shuffle partitions
+    # and the numpy scoring, the expensive part, runs SERIALLY in a
+    # single Python task (measured 2x on the 8-query bench batch:
+    # 7.6-9.0 s coalesced vs 3.7-4.4 s spread).  An explicit
+    # repartition by chunk pins the scoring width: user-specified
+    # repartitions are exempt from AQE coalescing, and the width
+    # follows spark.sql.shuffle.partitions so it scales with the
+    # cluster, not a local constant (guide §2.2: parallelize by CPU
+    # cost, not bytes).
+    try:
+        n_score = int(str(spark.conf.get("spark.sql.shuffle.partitions")))
+    except (TypeError, ValueError):
+        n_score = max(1, spark.sparkContext.defaultParallelism)
+    postings = postings.repartition(n_score, "chunk")
+
     if allowed is not None or denied is not None:
         side = allowed if allowed is not None else denied
         mode = "allow" if allowed is not None else "deny"
         side = side.select(
             F.expr(f"doc_id div {int(chunk_span)}").alias("chunk"), "doc_id"
-        )
+        ).repartition(n_score, "chunk")
 
         def score_co(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             if len(left) == 0:
