@@ -446,7 +446,16 @@ class AnnIndex:
         # size, each task just reads several files sequentially.
         # Measured 1142 -> ~350 ms/query on a 793-leaf layout at 32
         # cores (guide §2.2 "fewer, larger tasks" + §4 boundary cost).
+        # The width itself follows FILES per task, not the raw core
+        # count: ~32 small leaf files per task amortizes the per-file
+        # open cost while keeping the per-task Python dispatch count
+        # low (a 278-leaf probe ran ~80-100 ms/query faster at width
+        # 4-16 than at width 32; width 1 serializes the opens and
+        # loses — both constants are per-task/per-file costs, so the
+        # tradeoff is scale-independent).  Probes wider than
+        # 32 x cluster-width still fan out to every core.
         target = max(1, self.spark.sparkContext.defaultParallelism)
+        target = min(target, max(1, -(-len(paths) // 32)))
         if len(paths) > target:
             df = df.coalesce(target)
         if self._has_deletes():
